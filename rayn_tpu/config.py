@@ -1,0 +1,106 @@
+"""Render settings.
+
+The reference hard-codes its knobs as `pub const`s (reference
+src/setup.rs:16-44) and in `main` (src/main.rs:47-57). Here they are a
+frozen dataclass that is passed as a *static* argument to the jitted render
+functions, so every combination compiles to a specialized XLA program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    """All compile-time render knobs.
+
+    Mirrors reference src/setup.rs:16-44 plus the frame-loop constants from
+    src/main.rs:47-57 and the integrator construction (src/main.rs:53-56).
+    """
+
+    # Image resolution (w, h). Reference: RESOLUTION (src/setup.rs:16).
+    resolution: tuple[int, int] = (1280, 720)
+
+    # Samples per pixel. The reference multiplies its SAMPLES const by the
+    # SIMD width of 4 (src/setup.rs:22, src/film.rs:434); here `spp` is the
+    # *effective* per-pixel sample count.
+    spp: int = 8
+
+    # Indirect bounce count (src/setup.rs:30).
+    max_bounces: int = 3
+
+    # Equi-angular volume scattering samples per path vertex (src/setup.rs:25).
+    volume_marches: int = 2
+
+    # Number of lights sampled per NEE event. The reference samples 4 lights
+    # per wide (4-lane) shading batch with a correction factor of
+    # n_lights/4 (src/integrator.rs:76-94); we sample `nee_light_samples`
+    # per ray with correction n_lights/nee_light_samples.
+    nee_light_samples: int = 4
+
+    # World-sphere radius; rays are traced up to 2*world_radius
+    # (src/setup.rs:33, src/film.rs:556).
+    world_radius: float = 100.0
+
+    # SDF level-of-detail scale (src/setup.rs:37).
+    sdf_detail_scale: float = 0.5
+
+    # Sphere-march iteration caps (reference src/sdf.rs:9-10).
+    max_marches: int = 256
+    max_vis_marches: int = 100
+
+    # Reconstruction filter importance-sampling table size
+    # (reference src/filter.rs:187).
+    filter_table_size: int = 512
+
+    # Sampler: "rd" = precomputed R_d low-discrepancy table with
+    # Cranley-Patterson rotation (reference src/sampler.rs:18-37), or
+    # "hash" = counter-based PCG hash streams (fully shardable, no table).
+    sampler: str = "rd"
+
+    # --- compat quirks -----------------------------------------------------
+    # The reference samples the specular (Phong) lobe azimuth as
+    # `phi = 2*u` radians instead of `2*pi*u` (reference src/math.rs:111),
+    # which biases specular azimuth to a ~0.32 slice of the circle. Off by
+    # default (we use the correct 2*pi*u); enable to replicate the
+    # reference's images exactly.
+    compat_spec_phi: bool = False
+
+    # The reference computes the specular reflection axis as
+    # `wo.reflected(n) = wo - 2(wo.n)n` (reference src/material.rs:229 via
+    # ultraviolet), which points the Phong lobe *through* the surface; most
+    # lobe samples then fail the below-horizon test (src/material.rs:241).
+    # Off by default (we mirror wo about n: `2(wo.n)n - wo`).
+    compat_spec_reflect: bool = False
+
+    # Max rays traced per device pass; the frame is split into passes to
+    # bound HBM usage (the analog of reference's 16x16 tiles,
+    # src/main.rs:69, but sized for HBM rather than L2).
+    rays_per_pass: int = 1 << 21
+
+    def __post_init__(self):
+        assert self.sampler in ("rd", "hash"), self.sampler
+        assert self.spp >= 1 and self.max_bounces >= 0
+
+    # ---- sampler dimension layout (documented in rayn_tpu/utils/rng.py) ----
+    @property
+    def sets_1d_per_depth(self) -> int:
+        # light picks + volume light picks + volume distance + fresnel + roulette
+        return self.nee_light_samples + self.volume_marches * (self.nee_light_samples + 1) + 2
+
+    @property
+    def sets_2d_per_depth(self) -> int:
+        # NEE light samples + volume light samples + diffuse dir + spec dir
+        return self.nee_light_samples * (1 + self.volume_marches) + 2
+
+    @property
+    def num_1d_sets(self) -> int:
+        # set 0 = shutter time jitter (reference src/film.rs:509-512)
+        return 1 + (self.max_bounces + 1) * self.sets_1d_per_depth
+
+    @property
+    def num_2d_sets(self) -> int:
+        # set 0 = pixel uv (filter importance sampling), set 1 = lens
+        # (reference src/film.rs:466-507, :521-523)
+        return 2 + (self.max_bounces + 1) * self.sets_2d_per_depth

@@ -1,0 +1,232 @@
+"""Deterministic sample generation.
+
+Two interchangeable samplers (RenderSettings.sampler):
+
+- "rd": precomputed R_d (Roberts) low-discrepancy tables with per-pixel
+  Cranley-Patterson rotation. This is the design of the reference
+  (src/sampler.rs:18-37 builds per-set quasi-random tables with offset
+  `(frame+set)<<32`; lookups add a per-pixel scramble and take fract,
+  src/sampler.rs:62-94). The tables are built host-side in exact u64
+  fixed point and gathered on device.
+
+- "hash": fully counter-based PCG hash streams — every sample value is a
+  pure function of (frame, pixel, sample_index, set), so any shard of the
+  wavefront can be computed on any chip with no table at all. This is the
+  scale-out sampler (BASELINE.json north star: "stratified per-pixel
+  sampling moves to counter-based RNG").
+
+The per-pixel scramble in the reference comes from a SmallRng seeded with
+the pixel index (src/film.rs:460-461); here it is a PCG hash of
+(pixel, set) which additionally decorrelates sets.
+
+Sampler dimension ("set") layout, replacing the reference's implicit
+layout in src/film.rs:564-589 / src/integrator.rs:76-139:
+
+  1D sets: 0 = shutter-time jitter; then per depth d, base = 1 + d*S1:
+    +0..L-1                 NEE light picks (L = nee_light_samples)
+    +L..L+VM*L-1            volume-scatter light picks (march-major)
+    +VM*L+L..VM*L+L+VM-1    volume-scatter distance samples
+    +S1-2                   fresnel lobe select
+    +S1-1                   russian-roulette
+  2D sets: 0 = pixel uv (FIS), 1 = lens; then per depth d, base = 2 + d*S2:
+    +0..L-1                 NEE light direction samples
+    +L..L+VM*L-1            volume light direction samples
+    +S2-2                   diffuse bounce
+    +S2-1                   specular bounce
+
+(The reference re-used a single 1D set's four SIMD lanes as four light
+picks shared by the whole lane group, src/integrator.rs:76-82, and reused
+samples_1d[1] for every volume march's distance sample,
+src/integrator.rs:115; giving each decision its own set is a strict
+stratification improvement at identical cost.)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from rayn_tpu.config import RenderSettings
+
+_U64_MASK = (1 << 64) - 1
+
+
+def _phi_d(dims: int) -> float:
+    """Generalized golden ratio: unique positive root of x^(d+1) = x + 1."""
+    x = 2.0
+    for _ in range(64):
+        x = (1.0 + x) ** (1.0 / (dims + 1))
+    return x
+
+
+def rd_alphas_u64(dims: int) -> list[int]:
+    """Per-dimension R_d step in u64 fixed point."""
+    g = _phi_d(dims)
+    out = []
+    for i in range(dims):
+        frac = (1.0 / g) ** (i + 1) % 1.0
+        out.append(int(round(frac * (1 << 64))) & _U64_MASK)
+    return out
+
+
+def rd_sequence(dims: int, n: int, index_offset: int) -> np.ndarray:
+    """[n, dims] float32 R_d samples starting at sequence index `index_offset`.
+
+    Exact u64 fixed-point accumulation (value = (idx * alpha) mod 2^64 /
+    2^64), matching the quasi-rd crate used by the reference
+    (src/sampler.rs:23-29)."""
+    alphas = rd_alphas_u64(dims)
+    idx = (np.arange(n, dtype=np.uint64) + np.uint64(index_offset & _U64_MASK))
+    out = np.empty((n, dims), dtype=np.float32)
+    with np.errstate(over="ignore"):
+        for d, a in enumerate(alphas):
+            vals = idx * np.uint64(a)  # wrapping u64 multiply
+            out[:, d] = (vals >> np.uint64(40)).astype(np.float64) / float(1 << 24)
+    return out
+
+
+class SampleTables(NamedTuple):
+    """Device-resident R_d tables (pytree). Empty (shape [0,...]) in hash
+    mode."""
+    t1d: jnp.ndarray  # [num_1d_sets, spp]
+    t2d: jnp.ndarray  # [num_2d_sets, spp, 2]
+    frame: jnp.ndarray  # uint32 scalar, salts the hash/scramble streams
+
+
+def build_sample_tables(settings: RenderSettings, frame: int) -> SampleTables:
+    spp = settings.spp
+    if settings.sampler == "hash":
+        t1d = jnp.zeros((0, spp), jnp.float32)
+        t2d = jnp.zeros((0, spp, 2), jnp.float32)
+        return SampleTables(t1d, t2d, jnp.uint32(frame))
+    s1, s2 = settings.num_1d_sets, settings.num_2d_sets
+    t1d = np.empty((s1, spp), np.float32)
+    for i in range(s1):
+        t1d[i] = rd_sequence(1, spp, (frame + i) << 32)[:, 0]
+    t2d = np.empty((s2, spp, 2), np.float32)
+    for j in range(s2):
+        t2d[j] = rd_sequence(2, spp, (frame + s1 + j) << 32)
+    return SampleTables(jnp.asarray(t1d), jnp.asarray(t2d), jnp.uint32(frame))
+
+
+# ---------------------------------------------------------------------------
+# PCG hash (counter-based RNG on device)
+# ---------------------------------------------------------------------------
+
+def pcg_hash(x: jnp.ndarray) -> jnp.ndarray:
+    """PCG-RXS-M-XS 32-bit hash (Jarzynski & Olano, "Hash Functions for GPU
+    Rendering"). Input/output uint32."""
+    x = x.astype(jnp.uint32)
+    x = x * jnp.uint32(747796405) + jnp.uint32(2891336453)
+    x = ((x >> ((x >> jnp.uint32(28)) + jnp.uint32(4))) ^ x) * jnp.uint32(277803737)
+    return (x >> jnp.uint32(22)) ^ x
+
+
+def hash_combine(*words) -> jnp.ndarray:
+    """Fold words into one uint32 hash: h = pcg(w0); h = pcg(h ^ w1); ..."""
+    h = pcg_hash(jnp.asarray(words[0]).astype(jnp.uint32))
+    for w in words[1:]:
+        h = pcg_hash(h ^ jnp.asarray(w).astype(jnp.uint32))
+    return h
+
+
+def hash_to_unit_f32(h: jnp.ndarray) -> jnp.ndarray:
+    """uint32 -> float32 in [0, 1) using the top 24 bits."""
+    return (h >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(2.0 ** -24)
+
+
+# ---------------------------------------------------------------------------
+# Sampler lookups (vectorized over the wavefront)
+# ---------------------------------------------------------------------------
+
+_SET_SALT_1D = 0x9E3779B9
+_SET_SALT_2D = 0x85EBCA6B
+
+
+def _scramble(tables: SampleTables, pixel, set_salt: int, set_id: int):
+    return hash_to_unit_f32(
+        hash_combine(pixel, jnp.uint32(set_salt ^ set_id), tables.frame))
+
+
+def sample_1d(settings: RenderSettings, tables: SampleTables, set_id: int,
+              sample_idx: jnp.ndarray, pixel: jnp.ndarray) -> jnp.ndarray:
+    """One f32 in [0,1) per ray for decision dimension `set_id` (static)."""
+    if settings.sampler == "hash":
+        return hash_to_unit_f32(hash_combine(
+            pixel, sample_idx, jnp.uint32(_SET_SALT_1D ^ set_id), tables.frame))
+    base = tables.t1d[set_id, sample_idx]
+    scr = _scramble(tables, pixel, _SET_SALT_1D, set_id)
+    return jnp.mod(base + scr, 1.0)
+
+
+def sample_2d(settings: RenderSettings, tables: SampleTables, set_id: int,
+              sample_idx: jnp.ndarray, pixel: jnp.ndarray) -> jnp.ndarray:
+    """[..., 2] f32 in [0,1) per ray for 2D decision `set_id` (static)."""
+    if settings.sampler == "hash":
+        u = hash_to_unit_f32(hash_combine(
+            pixel, sample_idx, jnp.uint32(_SET_SALT_2D ^ (2 * set_id)),
+            tables.frame))
+        v = hash_to_unit_f32(hash_combine(
+            pixel, sample_idx, jnp.uint32(_SET_SALT_2D ^ (2 * set_id + 1)),
+            tables.frame))
+        return jnp.stack([u, v], axis=-1)
+    base = tables.t2d[set_id][sample_idx]  # [..., 2]
+    scr_u = _scramble(tables, pixel, _SET_SALT_2D, 2 * set_id)
+    scr_v = _scramble(tables, pixel, _SET_SALT_2D, 2 * set_id + 1)
+    scr = jnp.stack([scr_u, scr_v], axis=-1)
+    return jnp.mod(base + scr, 1.0)
+
+
+# --- set-id helpers mirroring the layout documented above ------------------
+
+def set1d_time() -> int:
+    return 0
+
+
+def set1d_light_pick(s: RenderSettings, depth: int, i: int) -> int:
+    return 1 + depth * s.sets_1d_per_depth + i
+
+
+def set1d_vol_pick(s: RenderSettings, depth: int, march: int, i: int) -> int:
+    return 1 + depth * s.sets_1d_per_depth + s.nee_light_samples + \
+        march * s.nee_light_samples + i
+
+
+def set1d_vol_dist(s: RenderSettings, depth: int, march: int) -> int:
+    return 1 + depth * s.sets_1d_per_depth + \
+        s.nee_light_samples * (1 + s.volume_marches) + march
+
+
+def set1d_fresnel(s: RenderSettings, depth: int) -> int:
+    return 1 + depth * s.sets_1d_per_depth + s.sets_1d_per_depth - 2
+
+
+def set1d_roulette(s: RenderSettings, depth: int) -> int:
+    return 1 + depth * s.sets_1d_per_depth + s.sets_1d_per_depth - 1
+
+
+def set2d_pixel_uv() -> int:
+    return 0
+
+
+def set2d_lens() -> int:
+    return 1
+
+
+def set2d_nee(s: RenderSettings, depth: int, i: int) -> int:
+    return 2 + depth * s.sets_2d_per_depth + i
+
+
+def set2d_vol(s: RenderSettings, depth: int, march: int, i: int) -> int:
+    return 2 + depth * s.sets_2d_per_depth + s.nee_light_samples + \
+        march * s.nee_light_samples + i
+
+
+def set2d_diffuse(s: RenderSettings, depth: int) -> int:
+    return 2 + depth * s.sets_2d_per_depth + s.sets_2d_per_depth - 2
+
+
+def set2d_spec(s: RenderSettings, depth: int) -> int:
+    return 2 + depth * s.sets_2d_per_depth + s.sets_2d_per_depth - 1

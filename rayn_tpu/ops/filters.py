@@ -1,0 +1,121 @@
+"""Reconstruction filters + filter importance sampling.
+
+The reference implements four pixel filters and a 512-entry inverse-CDF
+table that importance-samples the filter's footprint, making film
+splatting weight-free — each sample lands in exactly one pixel with
+weight 1 (reference src/filter.rs, src/math.rs:136-191). The table is
+built host-side here (numpy) and gathered on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import numpy as np
+import jax.numpy as jnp
+
+_BH_A = (0.35875, 0.48829, 0.14128, 0.01168)  # reference src/filter.rs:29-32
+
+
+@dataclasses.dataclass(frozen=True)
+class Filter:
+    name: str
+    radius: float
+    evaluate: Callable[[np.ndarray], np.ndarray]
+
+
+def blackman_harris(radius: float = 1.5) -> Filter:
+    """Reference src/filter.rs:12-49 (the default, src/main.rs:51)."""
+    def ev(p):
+        p = np.asarray(p, np.float64)
+        x = np.abs(p / radius) * 0.5 + 0.5
+        a0, a1, a2, a3 = _BH_A
+        v = (a0 - a1 * np.cos(2 * np.pi * x) + a2 * np.cos(4 * np.pi * x)
+             + a3 * np.cos(6 * np.pi * x))
+        return np.where(np.abs(p) > radius, 0.0, v)
+    return Filter("blackman_harris", radius, ev)
+
+
+def mitchell_netravali(radius: float = 2.0, b: float = 1.0 / 3.0,
+                       c: float = 1.0 / 3.0) -> Filter:
+    """Reference src/filter.rs:51-108."""
+    def ev(p):
+        x = np.abs(2.0 * np.asarray(p, np.float64) / radius)
+        near = ((12 - 9 * b - 6 * c) * x ** 3
+                + (-18 + 12 * b + 6 * c) * x ** 2 + (6 - 2 * b)) / 6.0
+        far = ((-b - 6 * c) * x ** 3 + (6 * b + 30 * c) * x ** 2
+               + (-12 * b - 48 * c) * x + (8 * b + 24 * c)) / 6.0
+        v = np.where(x > 1.0, far, near)
+        return np.where(x >= 2.0, 0.0, v)
+    return Filter("mitchell_netravali", radius, ev)
+
+
+def box_filter(radius: float = 0.5) -> Filter:
+    """Reference src/filter.rs:110-140."""
+    def ev(p):
+        return np.where(np.abs(np.asarray(p, np.float64)) > radius, 0.0, 1.0)
+    return Filter("box", radius, ev)
+
+
+def lanczos_sinc(radius: float = 3.0, tau: float = 3.0) -> Filter:
+    """Reference src/filter.rs:142-185."""
+    def sinc(x):
+        x = np.abs(x)
+        pix = np.pi * x
+        return np.where(x <= 1e-5, 1.0, np.sin(pix) / np.where(x <= 1e-5, 1.0, pix))
+
+    def ev(p):
+        x = np.abs(np.asarray(p, np.float64))
+        return np.where(x > radius, 0.0, sinc(x) * sinc(x / tau))
+    return Filter("lanczos_sinc", radius, ev)
+
+
+def build_fis_table(filt: Filter, table_size: int = 512) -> jnp.ndarray:
+    """Inverse-CDF table over (0, radius).
+
+    Matches reference src/filter.rs:193-218 + the CDF prepare/sample
+    semantics (src/math.rs:158-190): weights normalized, cumulative
+    densities, trailing zero-weight entries forced to density 1, inverse
+    looked up as the first entry whose density >= u. The filter must be
+    non-negative.
+    """
+    n = table_size
+    d = np.linspace(0.0, filt.radius, n)
+    w = np.asarray(filt.evaluate(d), np.float64)
+    # FIS requires a non-negative pdf; Mitchell-Netravali and Lanczos have
+    # negative lobes which are clamped here (the reference documents the
+    # same restriction, src/filter.rs:194-195, without enforcing it).
+    w = np.maximum(w, 0.0)
+    wn = w / w.sum()
+    dens = np.cumsum(wn)
+    i = n - 1
+    while i >= 0:
+        dens[i] = 1.0
+        if wn[i] > 0.0:
+            break
+        i -= 1
+    idx = np.searchsorted(dens, np.linspace(0.0, 1.0, n), side="left")
+    inv = d[np.minimum(idx, n - 1)]
+    return jnp.asarray(inv, jnp.float32)
+
+
+def fis_sample(table: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    """Map uniform u in [0,1) to a filter-distributed offset in
+    (-radius, radius) (reference src/filter.rs:222-235)."""
+    n = table.shape[0]
+    u2 = 2.0 * (u - 0.5)
+    mult = jnp.where(u2 < 0.0, -1.0, 1.0)
+    ua = jnp.clip(jnp.abs(u2), 0.0, 0.99999)
+    idx_full = ua * (n - 1)
+    idx = jnp.floor(idx_full).astype(jnp.int32)
+    t = idx_full - idx.astype(jnp.float32)
+    return mult * (table[idx] * (1.0 - t) + table[idx + 1] * t)
+
+
+FILTERS = {
+    "blackman_harris": blackman_harris,
+    "mitchell_netravali": mitchell_netravali,
+    "box": box_filter,
+    "lanczos_sinc": lanczos_sinc,
+}

@@ -1,0 +1,147 @@
+"""Scene-level intersection: closest hit, occlusion, shading info.
+
+The reference folds one wide ray packet over a vec of `Hitable` trait
+objects keeping the per-lane closest (id, t) (reference
+src/hitable.rs:170-210) and bins the results by object id for shading
+(src/hitable.rs:94-134). Here the whole wavefront intersects every
+sphere as one [N, K] broadcast plus a single SDF march, and "binning by
+material" is replaced by masked gathers from the material table — no
+repacking required on TPU.
+
+Object-id convention: 0..K-1 = spheres (in scene order), K = the traced
+SDF, -1 = miss.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from rayn_tpu.config import RenderSettings
+from rayn_tpu.ops import march as march_ops
+from rayn_tpu.ops import sdf as sdf_ops
+from rayn_tpu.ops import spheres as sphere_ops
+from rayn_tpu.scene.scene import SceneData, SceneStatic, sphere_centers_at
+from rayn_tpu.utils import vecmath
+
+
+class Hit(NamedTuple):
+    t: jnp.ndarray        # [N] distance (MISS-large on miss)
+    obj: jnp.ndarray      # [N] int32 object id, -1 on miss
+    valid: jnp.ndarray    # [N] bool
+
+
+class ShadingInfo(NamedTuple):
+    point: jnp.ndarray      # [N, 3]
+    normal: jnp.ndarray     # [N, 3]
+    offset_by: jnp.ndarray  # [N] shadow/bounce ray origin bias
+    mat: jnp.ndarray        # [N] int32 material id
+
+
+def closest_hit(data: SceneData, static: SceneStatic,
+                settings: RenderSettings,
+                origin: jnp.ndarray, direction: jnp.ndarray,
+                time: jnp.ndarray, t_max: jnp.ndarray,
+                hps_abs: jnp.ndarray, hps_lin: jnp.ndarray,
+                active: jnp.ndarray) -> Hit:
+    """Closest hit across all spheres + the SDF.
+
+    hps_abs/hps_lin describe the cone footprint half_pixel_size_at(t) =
+    hps_abs + hps_lin*t used for the SDF hit threshold (reference
+    src/film.rs:540-551, src/sdf.rs:69-71).
+    """
+    n = origin.shape[0]
+    best_t = t_max
+    best_obj = jnp.full((n,), -1, jnp.int32)
+
+    if static.n_spheres:
+        centers = sphere_centers_at(data, time)          # [N, K, 3]
+        ts = sphere_ops.hit(origin, direction, centers,
+                            data.sphere_radii, t_max)     # [N, K]
+        sph_t = jnp.min(ts, axis=1)
+        sph_id = jnp.argmin(ts, axis=1).astype(jnp.int32)
+        closer = sph_t < best_t
+        best_t = jnp.where(closer, sph_t, best_t)
+        best_obj = jnp.where(closer, sph_id, best_obj)
+
+    if static.has_sdf:
+        detail = settings.sdf_detail_scale
+        prog = static.sdf_program(data)
+        # March with the sphere-closest as t_max: same fold semantics as
+        # the reference (src/hitable.rs:177-198) but saves march steps.
+        t_sdf = march_ops.march(
+            prog, origin, direction, best_t,
+            eps_const=5e-5 * detail,
+            eps_abs=0.05 * detail * hps_abs,
+            eps_lin=0.05 * detail * hps_lin,
+            max_steps=settings.max_marches,
+            active=active)
+        closer = t_sdf < best_t
+        best_t = jnp.where(closer, t_sdf, best_t)
+        best_obj = jnp.where(closer, jnp.int32(static.n_spheres), best_obj)
+
+    valid = active & (best_obj >= 0)
+    return Hit(best_t, best_obj, valid)
+
+
+def test_occluded(data: SceneData, static: SceneStatic,
+                  settings: RenderSettings,
+                  start: jnp.ndarray, end: jnp.ndarray,
+                  time: jnp.ndarray,
+                  active: jnp.ndarray) -> jnp.ndarray:
+    """[N] float 1.0 = visible, 0.0 = occluded — the product-fold of
+    per-object occlusion tests (reference src/hitable.rs:163-168)."""
+    occluded = jnp.zeros(start.shape[0], bool)
+    if static.n_spheres:
+        centers = sphere_centers_at(data, time)
+        occ = sphere_ops.occluded(start, end, centers, data.sphere_radii)
+        occluded = occluded | jnp.any(occ, axis=1)
+    if static.has_sdf:
+        prog = static.sdf_program(data)
+        occ_sdf = march_ops.march_occlusion(
+            prog, start, end, settings.sdf_detail_scale,
+            settings.max_vis_marches,
+            active=active & jnp.logical_not(occluded))
+        occluded = occluded | occ_sdf
+    return jnp.where(occluded, 0.0, 1.0)
+
+
+def shading_info(data: SceneData, static: SceneStatic,
+                 settings: RenderSettings, hit: Hit,
+                 origin: jnp.ndarray, direction: jnp.ndarray,
+                 time: jnp.ndarray, hps_abs: jnp.ndarray,
+                 hps_lin: jnp.ndarray) -> ShadingInfo:
+    """Per-ray surface data at the hit point.
+
+    Spheres: geometric normal from the animated center, offset_by = 0
+    (reference src/sphere.rs:74-86). SDF: tetrahedral normal with
+    eps = max(1e-4, detail * half_pixel_size_at(t)), offset_by = eps
+    (reference src/sdf.rs:85-101).
+    """
+    n = origin.shape[0]
+    point = origin + hit.t[:, None] * direction
+    normal = jnp.zeros_like(point)
+    offset_by = jnp.zeros((n,), jnp.float32)
+    mat = jnp.zeros((n,), jnp.int32)
+
+    if static.n_spheres:
+        centers = sphere_centers_at(data, time)          # [N, K, 3]
+        idx = jnp.clip(hit.obj, 0, static.n_spheres - 1)
+        c = jnp.take_along_axis(centers, idx[:, None, None], axis=1)[:, 0, :]
+        sph_n = vecmath.normalize(point - c, eps=1e-20)
+        is_sph = (hit.obj >= 0) & (hit.obj < static.n_spheres)
+        normal = jnp.where(is_sph[:, None], sph_n, normal)
+        mat = jnp.where(is_sph, data.sphere_mats[idx], mat)
+
+    if static.has_sdf:
+        detail = settings.sdf_detail_scale
+        prog = static.sdf_program(data)
+        hps = jnp.maximum(1e-4, detail * (hps_abs + hps_lin * hit.t))
+        is_sdf = hit.obj == static.n_spheres
+        sdf_n = sdf_ops.tetrahedral_normal(prog, point, hps)
+        normal = jnp.where(is_sdf[:, None], sdf_n, normal)
+        offset_by = jnp.where(is_sdf, hps, offset_by)
+        mat = jnp.where(is_sdf, jnp.int32(static.sdf_mat), mat)
+
+    return ShadingInfo(point, normal, offset_by, mat)

@@ -1,0 +1,129 @@
+"""Sphere tracing (SDF marching) over the whole wavefront.
+
+Faithful TPU re-design of the reference's 4-lane SIMD marches
+(reference src/sdf.rs:25-83): per-lane termination masks become [N] bool
+arrays, the `move_mask() == 0b1111` early-outs become `jnp.all` predicates
+on a `lax.while_loop`, and lanes that finish keep a frozen `t` while the
+rest march on.
+
+This is the pure-jnp (XLA-fused) version; rayn_tpu.ops.march_pallas holds
+the Pallas kernel that keeps the march loop entirely in VMEM.
+
+Hit thresholds are cone-traced: threshold(t) = max(eps_const,
+eps_abs + eps_lin * t), which covers both the camera's perspective
+half-pixel footprint (linear in t, reference src/camera.rs:116-118) and
+the orthographic constant footprint (src/camera.rs:282-284), as well as
+the secondary-bounce schedule 2e-4*depth*t (reference src/film.rs:547-551).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from rayn_tpu.ops.sdf import SdfProgram
+
+
+def march(sdf: SdfProgram, origin: jnp.ndarray, direction: jnp.ndarray,
+          t_max: jnp.ndarray, eps_const: float, eps_abs: jnp.ndarray,
+          eps_lin: jnp.ndarray, max_steps: int,
+          active: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Primary-ray sphere trace; returns per-ray t (>= t_max on miss).
+
+    Semantics per reference src/sdf.rs:59-83: t starts at the distance
+    estimate from the origin; each step advances t by the DE at the current
+    point unless the lane has hit (|DE| < threshold(t)), gone past t_max,
+    or was NaN at the origin. The returned t is raw; the caller treats
+    t < t_max as a hit (src/hitable.rs:184-194).
+
+    `active` lanes that are False are treated as already-done (they keep
+    t = t_max + 1, i.e. a miss) so dead wavefront lanes cost no extra
+    iterations.
+    """
+    t0 = sdf.dist(origin)
+    nan_mask = jnp.isnan(t0)
+    if active is not None:
+        t0 = jnp.where(active, t0, t_max + 1.0)
+        nan_mask = jnp.where(active, nan_mask, False)
+
+    def threshold(t):
+        return jnp.maximum(eps_const, eps_abs + eps_lin * t)
+
+    def done_mask(t, dist):
+        hit = jnp.abs(dist) < threshold(t)
+        gt = t > t_max
+        return hit | nan_mask | gt
+
+    def cond(state):
+        step, _, all_done = state[0], state[1], state[2]
+        return (step < max_steps) & jnp.logical_not(all_done)
+
+    def body(state):
+        step, t, _ = state
+        point = origin + t[:, None] * direction
+        dist = sdf.dist(point)
+        done = done_mask(t, dist)
+        t = jnp.where(done, t, t + dist)
+        return (step + 1, t, jnp.all(done))
+
+    if active is not None:
+        init_all_done = jnp.all(jnp.logical_not(active) | nan_mask)
+    else:
+        init_all_done = jnp.array(False)
+    _, t, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), t0, init_all_done))
+    return t
+
+
+def march_occlusion(sdf: SdfProgram, start: jnp.ndarray, end: jnp.ndarray,
+                    detail_scale: float, max_steps: int,
+                    active: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Shadow march; returns bool [N]: True where the segment is occluded
+    by the SDF.
+
+    Replicates reference src/sdf.rs:25-57 exactly, including:
+    - the initial signed (not abs, not detail-scaled) `dist < 1e-4` hit test
+    - the NaN mask being computed only from the distance at the start point
+    - hit threshold max(1e-4*detail, 1e-5*detail*t) inside the loop
+    - a lane counts as occluded iff it hit *and* never marched past the end
+    """
+    seg = end - start
+    max_dist = jnp.sqrt(jnp.sum(seg * seg, axis=-1))
+    d = seg / max_dist[:, None]
+
+    dist0 = sdf.dist(start)
+    nan_mask = jnp.isnan(dist0)
+    hit0 = dist0 < 1e-4
+    if active is not None:
+        nan_mask = jnp.where(active, nan_mask, True)  # inactive -> not occluded
+        hit0 = jnp.where(active, hit0, False)
+
+    eps_c = 1e-4 * detail_scale
+    eps_l = 1e-5 * detail_scale
+
+    def body(state):
+        step, t, hit, stop = state
+        gt_nan = (t > max_dist) | nan_mask
+        break1 = jnp.all(gt_nan)
+
+        def advance(_):
+            point = start + t[:, None] * d
+            dist = sdf.dist(point)
+            new_hit = jnp.abs(dist) < jnp.maximum(eps_c, eps_l * t)
+            done = new_hit | gt_nan
+            new_t = jnp.where(done, t, t + dist)
+            return new_t, new_hit, jnp.all(done)
+
+        def keep(_):
+            return t, hit, jnp.array(True)
+
+        t, hit, stop = jax.lax.cond(break1, keep, advance, None)
+        return (step + 1, t, hit, stop)
+
+    def cond(state):
+        step, _, _, stop = state
+        return (step < max_steps) & jnp.logical_not(stop)
+
+    _, t, hit, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), dist0, hit0, jnp.array(False)))
+    gt_nan = (t > max_dist) | nan_mask
+    return hit & jnp.logical_not(gt_nan)

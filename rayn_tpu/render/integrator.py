@@ -1,0 +1,270 @@
+"""Wavefront path-tracing integrator.
+
+TPU re-design of the reference's `PathTracingIntegrator`
+(reference src/integrator.rs:32-281) and the wavefront driver loop around
+it (src/film.rs:531-626). The reference repacks surviving 4-lane SIMD
+rays densely after every bounce; on TPU the wavefront is thousands of
+lanes wide and termination is an `alive` mask — dead lanes ride along for
+the (statically unrolled) bounce loop, and all output channels are
+written once by masked select, then scatter-added to the film by the
+caller.
+
+Per-bounce semantics (call stack CS4 in SURVEY.md §3):
+1. intersect everything; missing lanes die silently
+2. radiance += le * throughput * exp(-sigma_t * t)
+3. NEE: L light picks, cone-sampled, shadow-tested, corrected by
+   n_lights / L  (reference src/integrator.rs:73-94, :207-240)
+4. volume: per march, L equi-angular samples, shadow-tested
+   (src/integrator.rs:96-132, :242-281)
+5. BSDF scatter; throughput update with NaN guard; Russian roulette for
+   depth > 2 with factor max(1 - max_channel(throughput), 0.05)
+   (src/integrator.rs:134-156, :181-183)
+6. depth-0 AOVs: Alpha=1 + WorldNormal for receiving hits
+   (src/integrator.rs:161-169)
+7. termination: non-receivers write Background (depth 0) or Color;
+   receivers past max_bounces or roulette-killed write Color
+   (src/integrator.rs:171-203)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from rayn_tpu.config import RenderSettings
+from rayn_tpu.ops import bsdf as bsdf_ops
+from rayn_tpu.ops import intersect, lights
+from rayn_tpu.scene.scene import SceneData, SceneStatic, light_positions_at
+from rayn_tpu.utils import rng, vecmath
+from rayn_tpu.utils.rng import SampleTables
+
+
+class PathState(NamedTuple):
+    """Struct-of-arrays wavefront state — the generalization of the
+    reference's `WRay` path state (src/ray.rs:4-29)."""
+    origin: jnp.ndarray      # [N, 3]
+    direction: jnp.ndarray   # [N, 3]
+    time: jnp.ndarray        # [N]
+    radiance: jnp.ndarray    # [N, 3]
+    throughput: jnp.ndarray  # [N, 3]
+    pixel: jnp.ndarray       # [N] int32 flat pixel id
+    sample_idx: jnp.ndarray  # [N] int32 per-pixel sample number
+    alive: jnp.ndarray       # [N] bool
+    # terminal channel outputs (each lane writes each at most once)
+    color_out: jnp.ndarray   # [N, 3]
+    bg_out: jnp.ndarray      # [N, 3]
+    alpha_out: jnp.ndarray   # [N]
+    normal_out: jnp.ndarray  # [N, 3]
+
+
+def init_state(origin, direction, time, pixel, sample_idx, alive) -> PathState:
+    n = origin.shape[0]
+    z3 = jnp.zeros((n, 3), jnp.float32)
+    return PathState(
+        origin=origin, direction=direction, time=time,
+        radiance=z3, throughput=jnp.ones((n, 3), jnp.float32),
+        pixel=pixel, sample_idx=sample_idx, alive=alive,
+        color_out=z3, bg_out=z3,
+        alpha_out=jnp.zeros((n,), jnp.float32), normal_out=z3)
+
+
+def _pick_lights(settings: RenderSettings, static: SceneStatic, u: jnp.ndarray):
+    idx = jnp.floor(u * static.n_lights).astype(jnp.int32)
+    return jnp.clip(idx, 0, static.n_lights - 1)
+
+
+def _gather_lights(data: SceneData, lpos_all: jnp.ndarray, lidx: jnp.ndarray):
+    """lpos_all: [N, L, 3] time-sampled positions; lidx: [N]."""
+    pos = jnp.take_along_axis(lpos_all, lidx[:, None, None], axis=1)[:, 0, :]
+    rad = data.light_radii[lidx]
+    em = data.light_emission[lidx]
+    return pos, rad, em
+
+
+def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
+           tables: SampleTables, state: PathState, depth: int,
+           hps_abs0: jnp.ndarray, hps_lin0: jnp.ndarray) -> PathState:
+    """One wavefront bounce at static `depth`."""
+    n = state.origin.shape[0]
+    s = settings
+
+    # Cone footprint: camera half-pixel at depth 0, widening schedule
+    # afterwards (reference src/film.rs:540-551).
+    if depth == 0:
+        hps_abs = jnp.broadcast_to(hps_abs0, (n,))
+        hps_lin = jnp.broadcast_to(hps_lin0, (n,))
+    else:
+        hps_abs = jnp.zeros((n,), jnp.float32)
+        hps_lin = jnp.full((n,), 2e-4 * depth, jnp.float32)
+
+    t_max = jnp.full((n,), 2.0 * s.world_radius, jnp.float32)
+    hit = intersect.closest_hit(
+        data, static, s, state.origin, state.direction, state.time, t_max,
+        hps_abs, hps_lin, state.alive)
+
+    live = state.alive & hit.valid  # lanes shading this bounce
+    # Missing lanes die silently (the reference never bins them,
+    # src/hitable.rs:203-209).
+    info = intersect.shading_info(
+        data, static, s, hit, state.origin, state.direction, state.time,
+        hps_abs, hps_lin)
+    mat = bsdf_ops.gather(data.materials, info.mat)
+    receives = bsdf_ops.receives_light(mat) & live
+    wo = -state.direction
+
+    if static.has_extinction:
+        vol_trans = jnp.exp(-data.volume_sigma_t * hit.t)
+    else:
+        vol_trans = jnp.ones((n,), jnp.float32)
+
+    # 2. emission
+    le = bsdf_ops.emitted(mat, wo)
+    radiance = state.radiance + jnp.where(
+        live[:, None], le * state.throughput * vol_trans[:, None], 0.0)
+
+    lpos_all = light_positions_at(data, state.time) if static.n_lights else None
+
+    # 3. NEE
+    if static.n_lights > 0:
+        correction = static.n_lights / s.nee_light_samples
+        for i in range(s.nee_light_samples):
+            u_pick = rng.sample_1d(s, tables, rng.set1d_light_pick(s, depth, i),
+                                   state.sample_idx, state.pixel)
+            lidx = _pick_lights(s, static, u_pick)
+            lp, lr, lem = _gather_lights(data, lpos_all, lidx)
+            u2 = rng.sample_2d(s, tables, rng.set2d_nee(s, depth, i),
+                               state.sample_idx, state.pixel)
+            end_point, li, pdf = lights.sample_cone(u2, lp, lr, info.point, lem)
+            wi_full = end_point - info.point
+            dist = vecmath.length(wi_full)
+            wi = wi_full / dist[:, None]
+            occ_origin = info.point + info.normal * (
+                jnp.copysign(1.0, vecmath.dot(info.normal, wi))
+                * info.offset_by)[:, None]
+            vis = intersect.test_occluded(
+                data, static, s, occ_origin, end_point, state.time, receives)
+            f = bsdf_ops.eval_f(mat, wo, wi, info.normal) * jnp.maximum(
+                0.0, vecmath.dot(info.normal, wi))[:, None]
+            if static.has_extinction:
+                seg_trans = jnp.exp(-data.volume_sigma_t * dist)
+            else:
+                seg_trans = jnp.ones((n,), jnp.float32)
+            contrib = (li * f * (seg_trans * vis / pdf)[:, None]
+                       * state.throughput * (correction * vol_trans)[..., None])
+            radiance = radiance + jnp.where(receives[:, None], contrib, 0.0)
+
+    # 4. homogeneous volume single scattering (not gated on receives:
+    # in-scattering happens along the segment even toward sky hits,
+    # reference src/integrator.rs:96-132)
+    if static.has_scattering and static.n_lights > 0:
+        vm_correction = static.n_lights / s.nee_light_samples / s.volume_marches
+        for m in range(s.volume_marches):
+            u_dist = rng.sample_1d(s, tables, rng.set1d_vol_dist(s, depth, m),
+                                   state.sample_idx, state.pixel)
+            for i in range(s.nee_light_samples):
+                u_pick = rng.sample_1d(
+                    s, tables, rng.set1d_vol_pick(s, depth, m, i),
+                    state.sample_idx, state.pixel)
+                lidx = _pick_lights(s, static, u_pick)
+                lp, lr, lem = _gather_lights(data, lpos_all, lidx)
+                vol_dist, vol_pdf = lights.sample_equi_angular(
+                    u_dist, lp, state.origin, state.direction, hit.t)
+                sampled_point = state.origin + vol_dist[:, None] * state.direction
+                u2 = rng.sample_2d(s, tables, rng.set2d_vol(s, depth, m, i),
+                                   state.sample_idx, state.pixel)
+                end_point, li, light_pdf = lights.sample_cone(
+                    u2, lp, lr, sampled_point, lem)
+                dist_pl = vecmath.length(end_point - sampled_point)
+                vis = intersect.test_occluded(
+                    data, static, s, sampled_point, end_point, state.time, live)
+                phase_f = 1.0 / (4.0 * jnp.pi)
+                if static.has_extinction:
+                    seg_trans = jnp.exp(-data.volume_sigma_t * dist_pl)
+                    to_point_trans = jnp.exp(-data.volume_sigma_t * vol_dist)
+                else:
+                    seg_trans = jnp.ones((n,), jnp.float32)
+                    to_point_trans = jnp.ones((n,), jnp.float32)
+                scale = (phase_f * seg_trans * vis / (vol_pdf * light_pdf)
+                         * vm_correction * data.volume_sigma_s * to_point_trans)
+                contrib = li * scale[:, None] * state.throughput
+                radiance = radiance + jnp.where(live[:, None], contrib, 0.0)
+
+    # 5. scatter + throughput + roulette
+    u_f = rng.sample_1d(s, tables, rng.set1d_fresnel(s, depth),
+                        state.sample_idx, state.pixel)
+    u_diff = rng.sample_2d(s, tables, rng.set2d_diffuse(s, depth),
+                           state.sample_idx, state.pixel)
+    u_spec = rng.sample_2d(s, tables, rng.set2d_spec(s, depth),
+                           state.sample_idx, state.pixel)
+    se = bsdf_ops.scatter(mat, s, wo, info.normal, u_f, u_diff, u_spec)
+    ndl = jnp.abs(vecmath.dot(se.wi, info.normal))
+    new_throughput = (state.throughput * vol_trans[:, None] * se.f
+                      * (ndl / se.pdf)[:, None])
+
+    if depth > 2:  # reference src/integrator.rs:147-156
+        roulette = jnp.maximum(
+            1.0 - jnp.max(state.throughput, axis=-1), 0.05)
+        new_throughput = new_throughput / (1.0 - roulette)[:, None]
+    else:
+        roulette = jnp.zeros((n,), jnp.float32)
+
+    u_r = rng.sample_1d(s, tables, rng.set1d_roulette(s, depth),
+                        state.sample_idx, state.pixel)
+    rr_kill = u_r < roulette
+    terminate = (depth >= s.max_bounces) | rr_kill
+
+    # 6. depth-0 AOVs
+    if depth == 0:
+        alpha_out = jnp.where(receives, 1.0, state.alpha_out)
+        normal_out = jnp.where(receives[:, None], info.normal,
+                               state.normal_out)
+    else:
+        alpha_out = state.alpha_out
+        normal_out = state.normal_out
+
+    # 7. termination bookkeeping
+    non_recv = live & jnp.logical_not(receives)
+    if depth == 0:
+        bg_out = jnp.where(non_recv[:, None], radiance, state.bg_out)
+        color_out = state.color_out
+    else:
+        bg_out = state.bg_out
+        color_out = jnp.where(non_recv[:, None], radiance, state.color_out)
+    recv_done = receives & terminate
+    color_out = jnp.where(recv_done[:, None], radiance, color_out)
+
+    survive = receives & jnp.logical_not(terminate)
+
+    # continued-ray update (reference src/hitable.rs:42-47 origin bias +
+    # NaN throughput guard src/integrator.rs:181-183)
+    new_origin = info.point + info.normal * (
+        jnp.copysign(1.0, vecmath.dot(info.normal, se.wi))
+        * info.offset_by)[:, None]
+    tp_nan = jnp.any(jnp.isnan(new_throughput), axis=-1)
+    next_tp = jnp.where(tp_nan[:, None], state.throughput, new_throughput)
+
+    return PathState(
+        origin=jnp.where(survive[:, None], new_origin, state.origin),
+        direction=jnp.where(survive[:, None], se.wi, state.direction),
+        time=state.time,
+        radiance=radiance,
+        throughput=jnp.where(survive[:, None], next_tp, state.throughput),
+        pixel=state.pixel,
+        sample_idx=state.sample_idx,
+        alive=survive,
+        color_out=color_out,
+        bg_out=bg_out,
+        alpha_out=alpha_out,
+        normal_out=normal_out,
+    )
+
+
+def trace(data: SceneData, static: SceneStatic, settings: RenderSettings,
+          tables: SampleTables, state: PathState,
+          hps_abs0: jnp.ndarray, hps_lin0: jnp.ndarray) -> PathState:
+    """Run the full (statically unrolled) bounce loop."""
+    for depth in range(settings.max_bounces + 1):
+        state = bounce(data, static, settings, tables, state, depth,
+                       hps_abs0, hps_lin0)
+    return state

@@ -1,0 +1,115 @@
+"""Frame renderer: ray generation -> wavefront trace -> film splat.
+
+The TPU analog of `Film::render_frame_into` (reference
+src/film.rs:380-628). Instead of 16x16 CPU tiles on a rayon pool, the
+frame's (pixel, sample) grid is flattened into one big ray index space
+and rendered in fixed-size *passes* sized for HBM; each pass is a single
+jitted program: generate camera rays (filter-importance-sampled pixel
+offsets + shutter-time jitter), run the unrolled bounce loop, and
+scatter-add terminated channels into the film accumulator.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from rayn_tpu.config import RenderSettings
+from rayn_tpu.ops import filters as filter_ops
+from rayn_tpu.render import film as film_mod
+from rayn_tpu.render.camera import Camera
+from rayn_tpu.render.integrator import init_state, trace
+from rayn_tpu.scene.scene import SceneData, SceneStatic
+from rayn_tpu.utils import rng
+from rayn_tpu.utils.rng import SampleTables
+
+
+def generate_rays(settings: RenderSettings, tables: SampleTables,
+                  camera: Camera, fis_table: jnp.ndarray,
+                  ray_idx: jnp.ndarray, t0: jnp.ndarray, t1: jnp.ndarray):
+    """Camera rays for flat ray indices (pixel-major, spp-minor).
+
+    Mirrors reference src/film.rs:456-527: per-sample FIS pixel offset,
+    NDC mapping (pixel center + offset over resolution,
+    src/film.rs:694-709), shutter-time jitter, lens samples.
+    """
+    w, h = settings.resolution
+    n_pixels = w * h
+    total = n_pixels * settings.spp
+    in_range = ray_idx < total
+    safe_idx = jnp.minimum(ray_idx, total - 1)
+    pixel = (safe_idx // settings.spp).astype(jnp.int32)
+    sample_idx = (safe_idx % settings.spp).astype(jnp.int32)
+    x = (pixel % w).astype(jnp.float32)
+    y = (pixel // w).astype(jnp.float32)
+
+    u_px = rng.sample_2d(settings, tables, rng.set2d_pixel_uv(),
+                         sample_idx, pixel)
+    off_x = filter_ops.fis_sample(fis_table, u_px[:, 0])
+    off_y = filter_ops.fis_sample(fis_table, u_px[:, 1])
+    ndc = jnp.stack([(x + 0.5 + off_x) / w, (y + 0.5 + off_y) / h], axis=-1)
+
+    u_t = rng.sample_1d(settings, tables, rng.set1d_time(), sample_idx, pixel)
+    time = t0 + (t1 - t0) * u_t
+
+    lens = rng.sample_2d(settings, tables, rng.set2d_lens(),
+                         sample_idx, pixel)
+    origin, direction = camera.generate(ndc, time, lens)
+    return origin, direction, time, pixel, sample_idx, in_range
+
+
+@functools.partial(jax.jit, static_argnames=("static", "settings"),
+                   donate_argnames=("film",))
+def render_pass(film: film_mod.Film, data: SceneData, static: SceneStatic,
+                settings: RenderSettings, tables: SampleTables,
+                camera: Camera, fis_table: jnp.ndarray,
+                ray_idx: jnp.ndarray, t0: jnp.ndarray, t1: jnp.ndarray
+                ) -> film_mod.Film:
+    """Render one pass of rays and accumulate into the film."""
+    origin, direction, time, pixel, sample_idx, in_range = generate_rays(
+        settings, tables, camera, fis_table, ray_idx, t0, t1)
+    hps_abs0, hps_lin0 = camera.half_pixel_size_coeffs()
+    state = init_state(origin, direction, time, pixel, sample_idx, in_range)
+    state = trace(data, static, settings, tables, state, hps_abs0, hps_lin0)
+    count = in_range.astype(jnp.float32)
+    return film_mod.splat(
+        film, pixel,
+        color=state.color_out,
+        alpha=state.alpha_out,
+        background=state.bg_out,
+        normal=state.normal_out,
+        count=count)
+
+
+def render_frame(data: SceneData, static: SceneStatic,
+                 settings: RenderSettings, camera: Camera,
+                 frame: int = 1, time_range: tuple[float, float] = None,
+                 filter: Optional[filter_ops.Filter] = None,
+                 frame_rate: float = 24.0,
+                 shutter_speed: float = 1.0 / 24.0) -> film_mod.Film:
+    """Render a full frame, splitting the (pixel, sample) grid into
+    HBM-sized passes. Default frame timing matches reference
+    src/main.rs:47-62: frame f covers [f/frame_rate, f/frame_rate +
+    shutter_speed)."""
+    w, h = settings.resolution
+    total = w * h * settings.spp
+    if time_range is None:
+        start = frame / frame_rate
+        time_range = (start, start + shutter_speed)
+    tables = rng.build_sample_tables(settings, frame)
+    filt = filter or filter_ops.blackman_harris(1.5)
+    fis_table = filter_ops.build_fis_table(filt, settings.filter_table_size)
+
+    pass_size = min(settings.rays_per_pass, total)
+    n_passes = -(-total // pass_size)
+    film = film_mod.new_film(w * h)
+    t0 = jnp.float32(time_range[0])
+    t1 = jnp.float32(time_range[1])
+    for p in range(n_passes):
+        ray_idx = p * pass_size + jnp.arange(pass_size, dtype=jnp.int32)
+        film = render_pass(film, data, static, settings, tables, camera,
+                           fis_table, ray_idx, t0, t1)
+    return film

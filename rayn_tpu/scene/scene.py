@@ -1,0 +1,215 @@
+"""Scene representation and builder.
+
+The reference scene is a `World` of boxed trait objects — hitables,
+lights, materials, cameras (reference src/world.rs:7-13) built
+imperatively in `setup()` (src/setup.rs:46-170). The TPU-native design
+replaces dynamic dispatch with *arrays of parameters* plus integer type
+tags: all spheres live in one batched animated-center store, all
+materials in one tagged parameter table, all lights in one array — so
+every stage of the wavefront is a dense vectorized gather instead of a
+virtual call per object.
+
+Jit interface: `SceneBuilder.build()` returns `(SceneData, SceneStatic)`;
+SceneData is a pytree of arrays (donate/shard freely), SceneStatic is a
+hashable dataclass passed as a static argument (it carries shape-like
+facts and the SDF distance program's code).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from rayn_tpu.scene.animation import AnimChannel, sample_batched, stack_channels
+from rayn_tpu.ops.sdf import SdfProgram
+
+# Material kinds (reference src/material.rs: Lambertian :85, Dielectric
+# :144, Sky :394, Emissive :451).
+LAMBERT = 0
+DIELECTRIC = 1
+SKY = 2
+EMISSIVE = 3
+
+# Material kinds that bounce light further ("receives_light" in the
+# reference, src/material.rs:12-14, :426-428, :499-501).
+RECEIVING_KINDS = (LAMBERT, DIELECTRIC)
+
+
+class Materials(NamedTuple):
+    kind: jnp.ndarray      # [M] int32
+    color_a: jnp.ndarray   # [M, 3] albedo (lambert/dielectric) or sky top
+    color_b: jnp.ndarray   # [M, 3] emission (emissive) or sky bottom
+    power: jnp.ndarray     # [M] Phong exponent (dielectric); 0 otherwise
+
+
+class SceneData(NamedTuple):
+    """All per-scene device arrays (pytree)."""
+    sphere_centers: AnimChannel   # batched: values [K, T, 3]
+    sphere_radii: jnp.ndarray     # [K]
+    sphere_mats: jnp.ndarray      # [K] int32
+    materials: Materials
+    light_pos: AnimChannel        # batched: values [L, T, 3]
+    light_radii: jnp.ndarray      # [L]
+    light_emission: jnp.ndarray   # [L, 3]
+    sdf_params: Any               # pytree of the SDF program's parameters
+    volume_sigma_s: jnp.ndarray   # scalar f32 (0 when disabled)
+    volume_sigma_t: jnp.ndarray   # scalar f32 (0 when disabled)
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneStatic:
+    """Hashable compile-time facts about the scene."""
+    n_spheres: int
+    n_lights: int
+    n_materials: int
+    has_sdf: bool
+    sdf_fn: Optional[Callable]     # static dist function (hash by identity)
+    sdf_mat: int                   # material id of the SDF surface
+    has_scattering: bool
+    has_extinction: bool
+
+    def sdf_program(self, data: SceneData) -> SdfProgram:
+        assert self.has_sdf
+        return SdfProgram(self.sdf_fn, data.sdf_params)
+
+
+def sphere_centers_at(data: SceneData, time: jnp.ndarray) -> jnp.ndarray:
+    """[N, K, 3] sphere centers at each ray's time (motion blur,
+    reference src/sphere.rs:49)."""
+    return sample_batched(data.sphere_centers, time)
+
+
+def light_positions_at(data: SceneData, time: jnp.ndarray) -> jnp.ndarray:
+    """[N, L, 3] light centers at each ray's time."""
+    return sample_batched(data.light_pos, time)
+
+
+def _as_channel(value) -> AnimChannel:
+    if isinstance(value, AnimChannel):
+        return value
+    return AnimChannel.constant(np.asarray(value, np.float32))
+
+
+class SceneBuilder:
+    """Imperative scene construction mirroring the reference `setup()`
+    surface (src/setup.rs:46-170): add materials, hitables, lights, a
+    volume; `build()` freezes everything into device arrays."""
+
+    def __init__(self):
+        self._mat_kind: list[int] = []
+        self._mat_a: list[np.ndarray] = []
+        self._mat_b: list[np.ndarray] = []
+        self._mat_power: list[float] = []
+        self._sphere_centers: list[AnimChannel] = []
+        self._sphere_radii: list[float] = []
+        self._sphere_mats: list[int] = []
+        self._light_pos: list[AnimChannel] = []
+        self._light_radii: list[float] = []
+        self._light_emission: list[np.ndarray] = []
+        self._sdf: Optional[SdfProgram] = None
+        self._sdf_mat: int = -1
+        self._sigma_s: Optional[float] = None
+        self._sigma_t: Optional[float] = None
+
+    # --- materials (reference src/material.rs:58-73) ----------------------
+    def _add_material(self, kind, a, b, power) -> int:
+        self._mat_kind.append(kind)
+        self._mat_a.append(np.asarray(a, np.float32))
+        self._mat_b.append(np.asarray(b, np.float32))
+        self._mat_power.append(float(power))
+        return len(self._mat_kind) - 1
+
+    def add_lambertian(self, albedo) -> int:
+        return self._add_material(LAMBERT, albedo, np.zeros(3), 0.0)
+
+    def add_dielectric(self, albedo, roughness: float) -> int:
+        """Roughness in [0,1]; remapped to a Phong exponent exactly as the
+        reference's `Dielectric::new_remap` (src/material.rs:166-174):
+        power = 1 + (1-r)^4 * 300."""
+        r = 1.0 - roughness
+        power = 1.0 + (r ** 4) * 300.0
+        return self.add_dielectric_power(albedo, power)
+
+    def add_dielectric_power(self, albedo, power: float) -> int:
+        return self._add_material(DIELECTRIC, albedo, np.zeros(3), power)
+
+    def add_sky(self, top, bottom) -> int:
+        """Vertical-gradient sky (reference src/material.rs:394-449)."""
+        return self._add_material(SKY, top, bottom, 0.0)
+
+    def add_emissive(self, emission) -> int:
+        """Path-terminating emitter (reference src/material.rs:451-520)."""
+        return self._add_material(EMISSIVE, np.zeros(3), emission, 0.0)
+
+    # --- hitables ----------------------------------------------------------
+    def add_sphere(self, center, radius: float, material: int) -> int:
+        """center: point, AnimChannel, or callable t->point (baked)."""
+        self._sphere_centers.append(_as_channel(center))
+        self._sphere_radii.append(float(radius))
+        self._sphere_mats.append(int(material))
+        return len(self._sphere_radii) - 1
+
+    def set_sdf(self, program: SdfProgram, material: int) -> None:
+        """Attach the (single) traced SDF (reference src/sdf.rs:12-21;
+        one TracedSDF in the default scene, src/setup.rs:78-86)."""
+        self._sdf = program
+        self._sdf_mat = int(material)
+
+    # --- lights (reference src/light.rs:19-34) -----------------------------
+    def add_sphere_light(self, pos, radius: float, emission) -> int:
+        self._light_pos.append(_as_channel(pos))
+        self._light_radii.append(float(radius))
+        self._light_emission.append(np.asarray(emission, np.float32))
+        return len(self._light_radii) - 1
+
+    # --- volume (reference src/volume.rs:1-5) ------------------------------
+    def set_volume(self, coeff_scattering: Optional[float],
+                   coeff_extinction: Optional[float]) -> None:
+        self._sigma_s = coeff_scattering
+        self._sigma_t = coeff_extinction
+
+    # -----------------------------------------------------------------------
+    def build(self) -> tuple[SceneData, SceneStatic]:
+        if not self._mat_kind:
+            raise ValueError("scene has no materials")
+        k = len(self._sphere_radii)
+        centers = stack_channels(self._sphere_centers) if k else AnimChannel(
+            jnp.zeros((0, 1, 3)), jnp.float32(0), jnp.float32(1))
+        n_lights = len(self._light_radii)
+        lpos = stack_channels(self._light_pos) if n_lights else AnimChannel(
+            jnp.zeros((0, 1, 3)), jnp.float32(0), jnp.float32(1))
+
+        materials = Materials(
+            kind=jnp.asarray(self._mat_kind, jnp.int32),
+            color_a=jnp.asarray(np.stack(self._mat_a)),
+            color_b=jnp.asarray(np.stack(self._mat_b)),
+            power=jnp.asarray(self._mat_power, jnp.float32),
+        )
+        data = SceneData(
+            sphere_centers=centers,
+            sphere_radii=jnp.asarray(self._sphere_radii, jnp.float32),
+            sphere_mats=jnp.asarray(self._sphere_mats, jnp.int32),
+            materials=materials,
+            light_pos=lpos,
+            light_radii=jnp.asarray(self._light_radii, jnp.float32),
+            light_emission=jnp.asarray(
+                np.stack(self._light_emission) if n_lights
+                else np.zeros((0, 3), np.float32)),
+            sdf_params=self._sdf.params if self._sdf else (),
+            volume_sigma_s=jnp.float32(self._sigma_s or 0.0),
+            volume_sigma_t=jnp.float32(self._sigma_t or 0.0),
+        )
+        static = SceneStatic(
+            n_spheres=k,
+            n_lights=n_lights,
+            n_materials=len(self._mat_kind),
+            has_sdf=self._sdf is not None,
+            sdf_fn=self._sdf.fn if self._sdf else None,
+            sdf_mat=self._sdf_mat,
+            has_scattering=self._sigma_s is not None,
+            has_extinction=self._sigma_t is not None,
+        )
+        return data, static

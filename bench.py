@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Benchmark: Msamples/sec/chip on the default fractal scene.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The workload is BASELINE.json config #1: the default MandelBox scene
+(SDF fractal + spheres, sky, 5 sphere lights, volumetrics, 3-bounce GI)
+at 512x512. A "sample" is one full camera path: generate -> bounce loop
+(march + NEE shadow marches + volume scattering) -> film splat.
+
+vs_baseline compares against the reference CPU implementation's
+throughput. The Rust toolchain is absent from this image (BASELINE.md),
+so the baseline constant below comes from the C++ reimplementation of
+the reference's exact workload in cpp/baseline (same scene, same
+algorithms, multithreaded + vectorized by the compiler), measured on
+this machine. Until that number is recorded, a documented estimate is
+used.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+# Reference-equivalent CPU throughput in Msamples/s used for vs_baseline.
+# Provenance: see BASELINE.md "Measured baselines". Estimate until the
+# native baseline binary lands: rayn's default workload is ~1.5-2 Mrays/s
+# on an 8-core AVX2 CPU; this container exposes 1 vCPU -> ~0.25 Msamples/s.
+REFERENCE_CPU_MSAMPLES_PER_S = 0.25
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true",
+                    help="small shapes for a quick live check")
+    ap.add_argument("--res", type=int, default=512)
+    ap.add_argument("--spp", type=int, default=128)
+    ap.add_argument("--max-seconds", type=float, default=60.0)
+    ap.add_argument("--save", type=str, default=None,
+                    help="optionally save the benchmark render to PNGs")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from rayn_tpu.config import RenderSettings
+    from rayn_tpu.ops import filters as filter_ops
+    from rayn_tpu.render import film as film_mod
+    from rayn_tpu.render import renderer
+    from rayn_tpu.scene import presets
+    from rayn_tpu.utils import rng
+
+    if args.tiny:
+        res, spp, rays_per_pass, marches = (64, 64), 4, 1 << 13, 64
+    else:
+        res, spp, rays_per_pass, marches = \
+            (args.res, args.res), args.spp, 1 << 20, 256
+
+    settings = RenderSettings(resolution=res, spp=spp,
+                              max_marches=marches,
+                              rays_per_pass=rays_per_pass)
+    data, static, camera = presets.default_scene(resolution=res)
+    tables = rng.build_sample_tables(settings, frame=1)
+    fis = filter_ops.build_fis_table(filter_ops.blackman_harris(1.5),
+                                     settings.filter_table_size)
+    n_pixels = res[0] * res[1]
+    total = n_pixels * spp
+    film = film_mod.new_film(n_pixels)
+    t0c, t1c = jnp.float32(1 / 24), jnp.float32(2 / 24)
+
+    # warmup/compile on pass 0
+    ray_idx = jnp.arange(rays_per_pass, dtype=jnp.int32)
+    t_compile = time.perf_counter()
+    film = renderer.render_pass(film, data, static, settings, tables,
+                                camera, fis, ray_idx, t0c, t1c)
+    jax.block_until_ready(film)
+    compile_s = time.perf_counter() - t_compile
+
+    done = rays_per_pass
+    timed_rays = 0
+    t_start = time.perf_counter()
+    while done < total and (time.perf_counter() - t_start) < args.max_seconds:
+        ray_idx = done + jnp.arange(rays_per_pass, dtype=jnp.int32)
+        film = renderer.render_pass(film, data, static, settings, tables,
+                                    camera, fis, ray_idx, t0c, t1c)
+        jax.block_until_ready(film)
+        done += rays_per_pass
+        timed_rays += rays_per_pass
+    elapsed = time.perf_counter() - t_start
+
+    if timed_rays == 0:  # single-pass workload: fall back to the warm pass
+        ray_idx = jnp.arange(rays_per_pass, dtype=jnp.int32)
+        t = time.perf_counter()
+        film = renderer.render_pass(film, data, static, settings, tables,
+                                    camera, fis, ray_idx, t0c, t1c)
+        jax.block_until_ready(film)
+        elapsed = time.perf_counter() - t
+        timed_rays = rays_per_pass
+
+    msamples = timed_rays / elapsed / 1e6
+
+    if args.save:
+        resolved = film_mod.resolve(film, res)
+        film_mod.save_channels(resolved, args.save, f"bench_{res[0]}",
+                               ("color", "normal", "alpha"))
+
+    print(json.dumps({
+        "metric": f"Msamples/sec/chip fractal {res[0]}x{res[1]} "
+                  f"{spp}spp 3-bounce GI+NEE+volume",
+        "value": round(msamples, 4),
+        "unit": "Msamples/s",
+        "vs_baseline": round(msamples / REFERENCE_CPU_MSAMPLES_PER_S, 2),
+    }))
+    print(f"# device={jax.devices()[0].device_kind} compile={compile_s:.1f}s "
+          f"timed_rays={timed_rays} elapsed={elapsed:.2f}s",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

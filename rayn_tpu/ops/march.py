@@ -69,7 +69,9 @@ def march(sdf: SdfProgram, origin: jnp.ndarray, direction: jnp.ndarray,
     if active is not None:
         init_all_done = jnp.all(jnp.logical_not(active) | nan_mask)
     else:
-        init_all_done = jnp.array(False)
+        # `nan_mask & False` keeps the value data-dependent so its vma
+        # type matches the body output under shard_map.
+        init_all_done = jnp.all(nan_mask & False)
     _, t, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), t0, init_all_done))
     return t
 
@@ -100,30 +102,27 @@ def march_occlusion(sdf: SdfProgram, start: jnp.ndarray, end: jnp.ndarray,
     eps_c = 1e-4 * detail_scale
     eps_l = 1e-5 * detail_scale
 
+    # Note: the reference's "all lanes past the end" early-break
+    # (src/sdf.rs:41-43) preserves the previous iteration's hit mask, but
+    # since the return value is `hit & ~past_end` that preservation can
+    # never change the result — so the loop body here advances
+    # unconditionally and both early-outs collapse into the while
+    # condition.
     def body(state):
-        step, t, hit, stop = state
+        step, t, _, _ = state
         gt_nan = (t > max_dist) | nan_mask
-        break1 = jnp.all(gt_nan)
-
-        def advance(_):
-            point = start + t[:, None] * d
-            dist = sdf.dist(point)
-            new_hit = jnp.abs(dist) < jnp.maximum(eps_c, eps_l * t)
-            done = new_hit | gt_nan
-            new_t = jnp.where(done, t, t + dist)
-            return new_t, new_hit, jnp.all(done)
-
-        def keep(_):
-            return t, hit, jnp.array(True)
-
-        t, hit, stop = jax.lax.cond(break1, keep, advance, None)
-        return (step + 1, t, hit, stop)
+        point = start + t[:, None] * d
+        dist = sdf.dist(point)
+        hit = jnp.abs(dist) < jnp.maximum(eps_c, eps_l * t)
+        done = hit | gt_nan
+        t = jnp.where(done, t, t + dist)
+        return (step + 1, t, hit, jnp.all(done))
 
     def cond(state):
         step, _, _, stop = state
         return (step < max_steps) & jnp.logical_not(stop)
 
     _, t, hit, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), dist0, hit0, jnp.array(False)))
+        cond, body, (jnp.int32(0), dist0, hit0, jnp.all(nan_mask & False)))
     gt_nan = (t > max_dist) | nan_mask
     return hit & jnp.logical_not(gt_nan)

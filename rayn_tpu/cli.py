@@ -1,0 +1,127 @@
+"""Command-line renderer — the analog of the reference binary's `main`
+(reference src/main.rs:28-98): build the scene, loop over frames with a
+24 fps / (1/24)s-shutter schedule, render, print timing, save PNG
+channels. Unlike the reference's compile-time constants (src/setup.rs),
+everything is a flag.
+
+    python -m rayn_tpu --scene fractal --width 1280 --height 720 \
+        --spp 8 --frames 1 2 --out renders
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="rayn_tpu", description=__doc__)
+    p.add_argument("--scene", choices=("fractal", "spheres"),
+                   default="fractal")
+    p.add_argument("--width", type=int, default=1280)
+    p.add_argument("--height", type=int, default=720)
+    p.add_argument("--spp", type=int, default=8,
+                   help="effective samples per pixel (reference default: "
+                        "SAMPLES=2 x 4 lanes = 8)")
+    p.add_argument("--bounces", type=int, default=3)
+    p.add_argument("--volume-marches", type=int, default=2)
+    p.add_argument("--no-volume", action="store_true")
+    p.add_argument("--animated", action="store_true",
+                   help="animate the camera over the shutter interval")
+    p.add_argument("--frames", type=int, nargs=2, default=(1, 2),
+                   metavar=("START", "END"),
+                   help="frame range [start, end) (reference: 1..2)")
+    p.add_argument("--frame-rate", type=float, default=24.0)
+    p.add_argument("--shutter", type=float, default=1.0 / 24.0)
+    p.add_argument("--filter", default="blackman_harris",
+                   choices=("blackman_harris", "mitchell_netravali", "box",
+                            "lanczos_sinc"))
+    p.add_argument("--filter-radius", type=float, default=1.5)
+    p.add_argument("--sampler", choices=("rd", "hash"), default="rd")
+    p.add_argument("--out", default="renders")
+    p.add_argument("--channels", nargs="+",
+                   default=("alpha", "normal", "color"),
+                   choices=("color", "alpha", "normal", "background"))
+    p.add_argument("--transparent-background", action="store_true")
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint file for preemptible rendering")
+    p.add_argument("--rays-per-pass", type=int, default=1 << 20)
+    p.add_argument("--max-marches", type=int, default=256)
+    p.add_argument("--no-pallas", action="store_true")
+    p.add_argument("--trace-dir", default=None,
+                   help="capture a jax.profiler device trace here")
+    p.add_argument("--multichip", action="store_true",
+                   help="shard the render over all visible devices")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from rayn_tpu.config import RenderSettings
+    from rayn_tpu.ops import filters as filter_ops
+    from rayn_tpu.render import film as film_mod
+    from rayn_tpu.render import renderer
+    from rayn_tpu.scene import presets
+    from rayn_tpu.utils.profiling import device_trace
+
+    res = (args.width, args.height)
+    settings = RenderSettings(
+        resolution=res, spp=args.spp, max_bounces=args.bounces,
+        volume_marches=args.volume_marches, sampler=args.sampler,
+        rays_per_pass=args.rays_per_pass, max_marches=args.max_marches,
+        use_pallas=not args.no_pallas)
+
+    if args.scene == "fractal":
+        data, static, camera = presets.default_scene(
+            resolution=res, volume=not args.no_volume,
+            animated=args.animated)
+    else:
+        data, static, camera = presets.spheres_scene(resolution=res)
+
+    filt = filter_ops.FILTERS[args.filter](args.filter_radius)
+
+    def progress(done, total):
+        pct = 100.0 * done / total
+        print(f"\r  {done}/{total} rays ({pct:5.1f}%)", end="",
+              flush=True, file=sys.stderr)
+
+    import contextlib
+    trace_cm = (device_trace(args.trace_dir) if args.trace_dir
+                else contextlib.nullcontext())
+
+    with trace_cm:
+        for frame in range(args.frames[0], args.frames[1]):
+            start = time.perf_counter()
+            t0 = frame / args.frame_rate
+            if args.multichip:
+                from rayn_tpu.parallel import sharding
+                film = sharding.render_frame_sharded(
+                    data, static, settings, camera, frame=frame,
+                    time_range=(t0, t0 + args.shutter), filter=filt)
+            else:
+                film = renderer.render_frame(
+                    data, static, settings, camera, frame=frame,
+                    time_range=(t0, t0 + args.shutter), filter=filt,
+                    checkpoint_path=args.checkpoint, progress=progress)
+            import jax
+            jax.block_until_ready(film)
+            secs = time.perf_counter() - start
+            n_samples = res[0] * res[1] * args.spp
+            print(f"\nFrame {frame}: done in {secs:.2f}s "
+                  f"({n_samples / secs / 1e6:.3f} Msamples/s)",
+                  file=sys.stderr)
+
+            resolved = film_mod.resolve(film, res)
+            paths = film_mod.save_channels(
+                resolved, args.out, f"frame{frame:04d}_{args.spp}spp",
+                args.channels,
+                transparent_background=args.transparent_background)
+            for p in paths:
+                print(f"Saved {p}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -79,6 +79,15 @@ class RenderSettings:
     # src/main.rs:69, but sized for HBM rather than L2).
     rays_per_pass: int = 1 << 21
 
+    # Use the Pallas VMEM-resident march kernels on TPU backends (falls
+    # back to the jnp while_loop on CPU or for SDF programs without a
+    # component-form dist function).
+    use_pallas: bool = True
+
+    # Rays per Pallas march block (block_rows * 128). Smaller blocks give
+    # finer-grained early exit; larger blocks amortize grid overhead.
+    pallas_block_rows: int = 8
+
     def __post_init__(self):
         assert self.sampler in ("rd", "hash"), self.sampler
         assert self.spp >= 1 and self.max_bounces >= 0

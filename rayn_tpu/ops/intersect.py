@@ -18,12 +18,20 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+import jax
+
 from rayn_tpu.config import RenderSettings
 from rayn_tpu.ops import march as march_ops
+from rayn_tpu.ops import march_pallas
 from rayn_tpu.ops import sdf as sdf_ops
 from rayn_tpu.ops import spheres as sphere_ops
 from rayn_tpu.scene.scene import SceneData, SceneStatic, sphere_centers_at
 from rayn_tpu.utils import vecmath
+
+
+def _pallas_ok(settings: RenderSettings, prog) -> bool:
+    return (settings.use_pallas and prog.fn_c is not None
+            and jax.default_backend() not in ("cpu",))
 
 
 class Hit(NamedTuple):
@@ -68,9 +76,15 @@ def closest_hit(data: SceneData, static: SceneStatic,
     if static.has_sdf:
         detail = settings.sdf_detail_scale
         prog = static.sdf_program(data)
+        if _pallas_ok(settings, prog):
+            import functools
+            march_fn = functools.partial(
+                march_pallas.march, block_rows=settings.pallas_block_rows)
+        else:
+            march_fn = march_ops.march
         # March with the sphere-closest as t_max: same fold semantics as
         # the reference (src/hitable.rs:177-198) but saves march steps.
-        t_sdf = march_ops.march(
+        t_sdf = march_fn(
             prog, origin, direction, best_t,
             eps_const=5e-5 * detail,
             eps_abs=0.05 * detail * hps_abs,
@@ -99,7 +113,14 @@ def test_occluded(data: SceneData, static: SceneStatic,
         occluded = occluded | jnp.any(occ, axis=1)
     if static.has_sdf:
         prog = static.sdf_program(data)
-        occ_sdf = march_ops.march_occlusion(
+        if _pallas_ok(settings, prog):
+            import functools
+            occl_fn = functools.partial(
+                march_pallas.march_occlusion,
+                block_rows=settings.pallas_block_rows)
+        else:
+            occl_fn = march_ops.march_occlusion
+        occ_sdf = occl_fn(
             prog, start, end, settings.sdf_detail_scale,
             settings.max_vis_marches,
             active=active & jnp.logical_not(occluded))

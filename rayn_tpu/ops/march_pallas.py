@@ -1,0 +1,198 @@
+"""Pallas TPU kernels for SDF sphere tracing.
+
+Why a kernel: the pure-jnp march (rayn_tpu.ops.march) runs one
+`lax.while_loop` over the whole million-ray wavefront, so every step
+round-trips the carries through HBM and the loop runs until the *slowest*
+ray in the entire queue finishes (~max_steps almost always). These kernels
+tile the wavefront into VMEM-resident blocks of rays (grid over blocks);
+each block runs the march loop entirely on the VPU with its own early
+exit, so a block of coherent rays (adjacent pixels — the queue is
+pixel-major) stops after the block's own worst case, typically far below
+max_steps. This is the TPU analog of the reference's 4-lane
+`move_mask() == 0b1111` early-outs (reference src/sdf.rs:41-43, :78-81) at
+block granularity, and is "hard part #1" of SURVEY.md §7.
+
+The SDF distance program is inlined into the kernel via its
+component-form `fn_c(params, x, y, z)`; the (few) scalar parameters ride
+in SMEM so the same compiled kernel serves any parameter values.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rayn_tpu.ops.sdf import SdfProgram
+
+LANES = 128
+DEFAULT_BLOCK_ROWS = 8  # 8 x 128 = 1024 rays per block
+
+
+def _flatten_params(params):
+    leaves, treedef = jax.tree.flatten(params)
+    if not leaves:
+        return jnp.zeros((1, 1), jnp.float32), treedef, 0
+    flat = jnp.stack([jnp.asarray(l, jnp.float32).reshape(()) for l in leaves])
+    return flat.reshape(1, -1), treedef, len(leaves)
+
+
+def _unflatten_params(params_ref, treedef, n_leaves):
+    leaves = [params_ref[0, i] for i in range(n_leaves)]
+    return jax.tree.unflatten(treedef, leaves)
+
+
+def _to_rows(a, rows):
+    pad = rows * LANES - a.shape[0]
+    if pad:
+        a = jnp.pad(a, (0, pad))
+    return a.reshape(rows, LANES)
+
+
+def _march_kernel(fn_c, treedef, n_leaves, max_steps, eps_const,
+                  params_ref, ox, oy, oz, dx, dy, dz, tmax, eabs, elin,
+                  act, out_t):
+    prm = _unflatten_params(params_ref, treedef, n_leaves)
+    o_x, o_y, o_z = ox[:], oy[:], oz[:]
+    d_x, d_y, d_z = dx[:], dy[:], dz[:]
+    t_max = tmax[:]
+    eps_abs = eabs[:]
+    eps_lin = elin[:]
+    active = act[:] != 0
+
+    t0 = fn_c(prm, o_x, o_y, o_z)
+    nan_mask = jnp.isnan(t0) & active
+    t0 = jnp.where(active, t0, t_max + 1.0)
+
+    def done_of(t, dist):
+        thresh = jnp.maximum(eps_const, eps_abs + eps_lin * t)
+        return (jnp.abs(dist) < thresh) | nan_mask | (t > t_max)
+
+    def cond(state):
+        step, _, all_done = state
+        return jnp.logical_and(step < max_steps,
+                               jnp.logical_not(all_done))
+
+    def body(state):
+        step, t, _ = state
+        dist = fn_c(prm, o_x + t * d_x, o_y + t * d_y, o_z + t * d_z)
+        done = done_of(t, dist)
+        t = jnp.where(done, t, t + dist)
+        return step + 1, t, jnp.all(done)
+
+    init_done = jnp.all(jnp.logical_not(active) | nan_mask)
+    _, t, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), t0, init_done))
+    out_t[:] = t
+
+
+def march(prog: SdfProgram, origin, direction, t_max, eps_const: float,
+          eps_abs, eps_lin, max_steps: int, active,
+          block_rows: int = DEFAULT_BLOCK_ROWS, interpret: bool = False):
+    """Pallas twin of rayn_tpu.ops.march.march (same semantics, reference
+    src/sdf.rs:59-83)."""
+    n = origin.shape[0]
+    block = block_rows * LANES
+    n_pad = -(-n // block) * block
+    rows = n_pad // LANES
+
+    params, treedef, n_leaves = _flatten_params(prog.params)
+    args = [
+        _to_rows(origin[:, 0], rows), _to_rows(origin[:, 1], rows),
+        _to_rows(origin[:, 2], rows),
+        _to_rows(direction[:, 0], rows), _to_rows(direction[:, 1], rows),
+        _to_rows(direction[:, 2], rows),
+        _to_rows(t_max, rows), _to_rows(eps_abs, rows),
+        _to_rows(eps_lin, rows),
+        _to_rows(active.astype(jnp.int32), rows),
+    ]
+    grid = rows // block_rows
+    vspec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    kernel = functools.partial(_march_kernel, prog.fn_c, treedef, n_leaves,
+                               max_steps, eps_const)
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((1, max(n_leaves, 1)), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)] + [vspec] * 10,
+        out_specs=vspec,
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+        interpret=interpret,
+    )(params, *args)
+    return out.reshape(-1)[:n]
+
+
+def _occl_kernel(fn_c, treedef, n_leaves, max_steps, eps_c, eps_l,
+                 params_ref, sx, sy, sz, ex, ey, ez, act, out):
+    prm = _unflatten_params(params_ref, treedef, n_leaves)
+    s_x, s_y, s_z = sx[:], sy[:], sz[:]
+    seg_x = ex[:] - s_x
+    seg_y = ey[:] - s_y
+    seg_z = ez[:] - s_z
+    max_dist = jnp.sqrt(seg_x * seg_x + seg_y * seg_y + seg_z * seg_z)
+    inv = 1.0 / max_dist
+    d_x, d_y, d_z = seg_x * inv, seg_y * inv, seg_z * inv
+    active = act[:] != 0
+
+    dist0 = fn_c(prm, s_x, s_y, s_z)
+    nan_mask = jnp.isnan(dist0) | jnp.logical_not(active)
+    hit0 = (dist0 < 1e-4) & active
+
+    def cond(state):
+        step, _, _, stop = state
+        return jnp.logical_and(step < max_steps, jnp.logical_not(stop))
+
+    def body(state):
+        step, t, _, _ = state
+        gt_nan = (t > max_dist) | nan_mask
+        dist = fn_c(prm, s_x + t * d_x, s_y + t * d_y, s_z + t * d_z)
+        hit = jnp.abs(dist) < jnp.maximum(eps_c, eps_l * t)
+        done = hit | gt_nan
+        t = jnp.where(done, t, t + dist)
+        return step + 1, t, hit, jnp.all(done)
+
+    _, t, hit, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), dist0, hit0, jnp.all(nan_mask & False)))
+    gt_nan = (t > max_dist) | nan_mask
+    out[:] = (hit & jnp.logical_not(gt_nan)).astype(jnp.int32)
+
+
+def march_occlusion(prog: SdfProgram, start, end, detail_scale: float,
+                    max_steps: int, active,
+                    block_rows: int = DEFAULT_BLOCK_ROWS,
+                    interpret: bool = False):
+    """Pallas twin of rayn_tpu.ops.march.march_occlusion (reference
+    src/sdf.rs:25-57). Returns bool [N]."""
+    n = start.shape[0]
+    block = block_rows * LANES
+    n_pad = -(-n // block) * block
+    rows = n_pad // LANES
+
+    params, treedef, n_leaves = _flatten_params(prog.params)
+    args = [
+        _to_rows(start[:, 0], rows), _to_rows(start[:, 1], rows),
+        _to_rows(start[:, 2], rows),
+        _to_rows(end[:, 0], rows), _to_rows(end[:, 1], rows),
+        _to_rows(end[:, 2], rows),
+        _to_rows(active.astype(jnp.int32), rows),
+    ]
+    grid = rows // block_rows
+    vspec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    kernel = functools.partial(_occl_kernel, prog.fn_c, treedef, n_leaves,
+                               max_steps, 1e-4 * detail_scale,
+                               1e-5 * detail_scale)
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((1, max(n_leaves, 1)), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)] + [vspec] * 7,
+        out_specs=pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        interpret=interpret,
+    )(params, *args)
+    return out.reshape(-1)[:n] != 0

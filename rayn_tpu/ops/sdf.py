@@ -18,15 +18,27 @@ import jax.numpy as jnp
 from rayn_tpu.utils import vecmath
 
 DistFn = Callable[[Any, jnp.ndarray], jnp.ndarray]
+# Component ("SoA") form: fn_c(params, x, y, z) -> dist, where x/y/z are
+# same-shaped arrays. This is the form the Pallas march kernel consumes —
+# TPU vector layout wants the wavefront in (sublane, lane) tiles per
+# component, not a trailing axis of 3.
+DistFnC = Callable[[Any, jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
 
 class SdfProgram(NamedTuple):
-    """Static dist function + pytree of parameters."""
+    """Static dist function + pytree of parameters.
+
+    fn_c is the component-wise twin of fn (None disables the Pallas fast
+    path for this program; the jnp march still works)."""
     fn: DistFn
     params: Any
+    fn_c: DistFnC | None = None
 
     def dist(self, p: jnp.ndarray) -> jnp.ndarray:
         return self.fn(self.params, p)
+
+    def dist_c(self, x, y, z):
+        return self.fn_c(self.params, x, y, z)
 
 
 # ---------------------------------------------------------------------------
@@ -56,63 +68,84 @@ def mandelbox(iterations: int, box_fold_l: float, sphere_min_rad: float,
         fixed_rad_sq=jnp.float32(sphere_fixed_rad * sphere_fixed_rad),
     )
 
-    def fn(prm: MandelBoxParams, p: jnp.ndarray) -> jnp.ndarray:
-        offset = p
-        dr = jnp.ones(p.shape[:-1], p.dtype)
+    def fn_c(prm: MandelBoxParams, x, y, z):
+        ox, oy, oz = x, y, z
+        dr = jnp.ones_like(x)
         for _ in range(iterations):
             # box fold: clamp(p, -l, l) * 2 - p
-            p = jnp.clip(p, -prm.box_l, prm.box_l) * 2.0 - p
+            x = jnp.clip(x, -prm.box_l, prm.box_l) * 2.0 - x
+            y = jnp.clip(y, -prm.box_l, prm.box_l) * 2.0 - y
+            z = jnp.clip(z, -prm.box_l, prm.box_l) * 2.0 - z
             # sphere fold
-            r2 = vecmath.length_sq(p)
+            r2 = x * x + y * y + z * z
             mul = jnp.maximum(1.0, prm.fixed_rad_sq /
                               jnp.maximum(prm.min_rad_sq, r2))
-            p = p * mul[..., None]
+            x, y, z = x * mul, y * mul, z * mul
             dr = dr * mul
-            p = p * prm.scale + offset
+            x = x * prm.scale + ox
+            y = y * prm.scale + oy
+            z = z * prm.scale + oz
             dr = -dr * prm.scale + 1.0
-        return vecmath.length(p) / jnp.abs(dr)
+        return jnp.sqrt(x * x + y * y + z * z) / jnp.abs(dr)
 
-    return SdfProgram(fn, params)
+    def fn(prm: MandelBoxParams, p: jnp.ndarray) -> jnp.ndarray:
+        return fn_c(prm, p[..., 0], p[..., 1], p[..., 2])
+
+    return SdfProgram(fn, params, fn_c)
 
 
 # ---------------------------------------------------------------------------
 # Primitive SDFs (the sdfu-crate surface, re-designed as jnp programs)
 # ---------------------------------------------------------------------------
 
+def _from_c(fn_c, params) -> SdfProgram:
+    def fn(prm, p):
+        return fn_c(prm, p[..., 0], p[..., 1], p[..., 2])
+    return SdfProgram(fn, params, fn_c)
+
+
 def sphere(radius: float) -> SdfProgram:
-    r = jnp.float32(radius)
-    return SdfProgram(lambda prm, p: vecmath.length(p) - prm, r)
+    return _from_c(
+        lambda prm, x, y, z: jnp.sqrt(x * x + y * y + z * z) - prm,
+        jnp.float32(radius))
 
 
 def box(half_extents) -> SdfProgram:
-    he = jnp.asarray(half_extents, jnp.float32)
+    he = tuple(jnp.float32(v) for v in half_extents)
 
-    def fn(prm, p):
-        q = jnp.abs(p) - prm
-        outside = vecmath.length(jnp.maximum(q, 0.0))
-        inside = jnp.minimum(jnp.max(q, axis=-1), 0.0)
+    def fn_c(prm, x, y, z):
+        qx = jnp.abs(x) - prm[0]
+        qy = jnp.abs(y) - prm[1]
+        qz = jnp.abs(z) - prm[2]
+        outside = jnp.sqrt(jnp.maximum(qx, 0.0) ** 2
+                           + jnp.maximum(qy, 0.0) ** 2
+                           + jnp.maximum(qz, 0.0) ** 2)
+        inside = jnp.minimum(jnp.maximum(qx, jnp.maximum(qy, qz)), 0.0)
         return outside + inside
-    return SdfProgram(fn, he)
+    return _from_c(fn_c, he)
 
 
 def torus(major: float, minor: float) -> SdfProgram:
     prm = (jnp.float32(major), jnp.float32(minor))
 
-    def fn(prm, p):
+    def fn_c(prm, x, y, z):
         maj, mino = prm
-        qx = jnp.sqrt(p[..., 0] ** 2 + p[..., 2] ** 2) - maj
-        return jnp.sqrt(qx * qx + p[..., 1] ** 2) - mino
-    return SdfProgram(fn, prm)
+        qx = jnp.sqrt(x * x + z * z) - maj
+        return jnp.sqrt(qx * qx + y * y) - mino
+    return _from_c(fn_c, prm)
 
 
 def plane(normal, offset: float = 0.0) -> SdfProgram:
-    prm = (vecmath.normalize(jnp.asarray(normal, jnp.float32)),
+    import numpy as _np
+    n = _np.asarray(normal, _np.float64)
+    n = n / _np.linalg.norm(n)
+    prm = (jnp.float32(n[0]), jnp.float32(n[1]), jnp.float32(n[2]),
            jnp.float32(offset))
 
-    def fn(prm, p):
-        n, d = prm
-        return vecmath.dot(p, jnp.broadcast_to(n, p.shape)) + d
-    return SdfProgram(fn, prm)
+    def fn_c(prm, x, y, z):
+        nx, ny, nz, d = prm
+        return x * nx + y * ny + z * nz + d
+    return _from_c(fn_c, prm)
 
 
 # ---------------------------------------------------------------------------
@@ -120,51 +153,58 @@ def plane(normal, offset: float = 0.0) -> SdfProgram:
 # ---------------------------------------------------------------------------
 
 def union(a: SdfProgram, b: SdfProgram) -> SdfProgram:
-    return SdfProgram(
-        lambda prm, p: jnp.minimum(a.fn(prm[0], p), b.fn(prm[1], p)),
+    return _from_c(
+        lambda prm, x, y, z: jnp.minimum(a.fn_c(prm[0], x, y, z),
+                                         b.fn_c(prm[1], x, y, z)),
         (a.params, b.params))
 
 
 def intersection(a: SdfProgram, b: SdfProgram) -> SdfProgram:
-    return SdfProgram(
-        lambda prm, p: jnp.maximum(a.fn(prm[0], p), b.fn(prm[1], p)),
+    return _from_c(
+        lambda prm, x, y, z: jnp.maximum(a.fn_c(prm[0], x, y, z),
+                                         b.fn_c(prm[1], x, y, z)),
         (a.params, b.params))
 
 
 def subtraction(a: SdfProgram, b: SdfProgram) -> SdfProgram:
     """a minus b."""
-    return SdfProgram(
-        lambda prm, p: jnp.maximum(a.fn(prm[0], p), -b.fn(prm[1], p)),
+    return _from_c(
+        lambda prm, x, y, z: jnp.maximum(a.fn_c(prm[0], x, y, z),
+                                         -b.fn_c(prm[1], x, y, z)),
         (a.params, b.params))
 
 
 def smooth_union(a: SdfProgram, b: SdfProgram, k: float) -> SdfProgram:
     kf = jnp.float32(k)
 
-    def fn(prm, p):
+    def fn_c(prm, x, y, z):
         pa, pb, k = prm
-        d1, d2 = a.fn(pa, p), b.fn(pb, p)
+        d1, d2 = a.fn_c(pa, x, y, z), b.fn_c(pb, x, y, z)
         h = jnp.clip(0.5 + 0.5 * (d2 - d1) / k, 0.0, 1.0)
         return d2 + (d1 - d2) * h - k * h * (1.0 - h)
-    return SdfProgram(fn, (a.params, b.params, kf))
+    return _from_c(fn_c, (a.params, b.params, kf))
 
 
 def translate(a: SdfProgram, offset) -> SdfProgram:
-    off = jnp.asarray(offset, jnp.float32)
-    return SdfProgram(
-        lambda prm, p: a.fn(prm[0], p - prm[1]), (a.params, off))
+    off = tuple(jnp.float32(v) for v in offset)
+    return _from_c(
+        lambda prm, x, y, z: a.fn_c(prm[0], x - prm[1][0], y - prm[1][1],
+                                    z - prm[1][2]),
+        (a.params, off))
 
 
 def scale(a: SdfProgram, factor: float) -> SdfProgram:
     s = jnp.float32(factor)
-    return SdfProgram(
-        lambda prm, p: a.fn(prm[0], p / prm[1]) * prm[1], (a.params, s))
+    return _from_c(
+        lambda prm, x, y, z: a.fn_c(prm[0], x / prm[1], y / prm[1],
+                                    z / prm[1]) * prm[1],
+        (a.params, s))
 
 
 def rounded(a: SdfProgram, radius: float) -> SdfProgram:
     r = jnp.float32(radius)
-    return SdfProgram(
-        lambda prm, p: a.fn(prm[0], p) - prm[1], (a.params, r))
+    return _from_c(
+        lambda prm, x, y, z: a.fn_c(prm[0], x, y, z) - prm[1], (a.params, r))
 
 
 # ---------------------------------------------------------------------------

@@ -125,7 +125,14 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
 
     lpos_all = light_positions_at(data, state.time) if static.n_lights else None
 
-    # 3. NEE
+    # 3 + 4. NEE and volume single scattering. All shadow segments of this
+    # bounce (L NEE + volume_marches*L equi-angular) are gathered first and
+    # tested in ONE batched occlusion call — this is the wavefront "shadow
+    # queue" (BASELINE.json north star): one big march kernel launch per
+    # bounce instead of 12, with contributions applied afterwards as
+    # contrib * visibility.
+    shadow_starts, shadow_ends, shadow_active, shadow_contrib = [], [], [], []
+
     if static.n_lights > 0:
         correction = static.n_lights / s.nee_light_samples
         for i in range(s.nee_light_samples):
@@ -142,21 +149,19 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
             occ_origin = info.point + info.normal * (
                 jnp.copysign(1.0, vecmath.dot(info.normal, wi))
                 * info.offset_by)[:, None]
-            vis = intersect.test_occluded(
-                data, static, s, occ_origin, end_point, state.time, receives)
             f = bsdf_ops.eval_f(mat, wo, wi, info.normal) * jnp.maximum(
                 0.0, vecmath.dot(info.normal, wi))[:, None]
             if static.has_extinction:
                 seg_trans = jnp.exp(-data.volume_sigma_t * dist)
             else:
                 seg_trans = jnp.ones((n,), jnp.float32)
-            contrib = (li * f * (seg_trans * vis / pdf)[:, None]
+            contrib = (li * f * (seg_trans / pdf)[:, None]
                        * state.throughput * (correction * vol_trans)[..., None])
-            radiance = radiance + jnp.where(receives[:, None], contrib, 0.0)
+            shadow_starts.append(occ_origin)
+            shadow_ends.append(end_point)
+            shadow_active.append(receives)
+            shadow_contrib.append(jnp.where(receives[:, None], contrib, 0.0))
 
-    # 4. homogeneous volume single scattering (not gated on receives:
-    # in-scattering happens along the segment even toward sky hits,
-    # reference src/integrator.rs:96-132)
     if static.has_scattering and static.n_lights > 0:
         vm_correction = static.n_lights / s.nee_light_samples / s.volume_marches
         for m in range(s.volume_marches):
@@ -176,8 +181,6 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
                 end_point, li, light_pdf = lights.sample_cone(
                     u2, lp, lr, sampled_point, lem)
                 dist_pl = vecmath.length(end_point - sampled_point)
-                vis = intersect.test_occluded(
-                    data, static, s, sampled_point, end_point, state.time, live)
                 phase_f = 1.0 / (4.0 * jnp.pi)
                 if static.has_extinction:
                     seg_trans = jnp.exp(-data.volume_sigma_t * dist_pl)
@@ -185,10 +188,25 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
                 else:
                     seg_trans = jnp.ones((n,), jnp.float32)
                     to_point_trans = jnp.ones((n,), jnp.float32)
-                scale = (phase_f * seg_trans * vis / (vol_pdf * light_pdf)
+                scale = (phase_f * seg_trans / (vol_pdf * light_pdf)
                          * vm_correction * data.volume_sigma_s * to_point_trans)
                 contrib = li * scale[:, None] * state.throughput
-                radiance = radiance + jnp.where(live[:, None], contrib, 0.0)
+                shadow_starts.append(sampled_point)
+                shadow_ends.append(end_point)
+                shadow_active.append(live)
+                shadow_contrib.append(jnp.where(live[:, None], contrib, 0.0))
+
+    if shadow_starts:
+        k = len(shadow_starts)
+        vis_all = intersect.test_occluded(
+            data, static, s,
+            jnp.concatenate(shadow_starts, axis=0),
+            jnp.concatenate(shadow_ends, axis=0),
+            jnp.tile(state.time, k),
+            jnp.concatenate(shadow_active, axis=0))
+        for j in range(k):
+            vis = vis_all[j * n:(j + 1) * n]
+            radiance = radiance + shadow_contrib[j] * vis[:, None]
 
     # 5. scatter + throughput + roulette
     u_f = rng.sample_1d(s, tables, rng.set1d_fresnel(s, depth),

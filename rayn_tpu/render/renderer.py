@@ -89,11 +89,20 @@ def render_frame(data: SceneData, static: SceneStatic,
                  frame: int = 1, time_range: tuple[float, float] = None,
                  filter: Optional[filter_ops.Filter] = None,
                  frame_rate: float = 24.0,
-                 shutter_speed: float = 1.0 / 24.0) -> film_mod.Film:
+                 shutter_speed: float = 1.0 / 24.0,
+                 checkpoint_path: Optional[str] = None,
+                 checkpoint_every: int = 4,
+                 progress: Optional[callable] = None) -> film_mod.Film:
     """Render a full frame, splitting the (pixel, sample) grid into
     HBM-sized passes. Default frame timing matches reference
     src/main.rs:47-62: frame f covers [f/frame_rate, f/frame_rate +
-    shutter_speed)."""
+    shutter_speed).
+
+    With checkpoint_path set, the film accumulator is persisted every
+    `checkpoint_every` passes and an interrupted render resumes where it
+    stopped (preemptible rendering, SURVEY.md §5). `progress(done, total)`
+    is called after every pass (the analog of the reference's per-tile
+    progress bar, src/film.rs:636)."""
     w, h = settings.resolution
     total = w * h * settings.spp
     if time_range is None:
@@ -106,10 +115,22 @@ def render_frame(data: SceneData, static: SceneStatic,
     pass_size = min(settings.rays_per_pass, total)
     n_passes = -(-total // pass_size)
     film = film_mod.new_film(w * h)
+    start_pass = 0
+    if checkpoint_path:
+        from rayn_tpu.render import checkpoint as ckpt
+        resumed = ckpt.load(checkpoint_path, settings, frame)
+        if resumed is not None:
+            film, start_pass = resumed
     t0 = jnp.float32(time_range[0])
     t1 = jnp.float32(time_range[1])
-    for p in range(n_passes):
+    for p in range(start_pass, n_passes):
         ray_idx = p * pass_size + jnp.arange(pass_size, dtype=jnp.int32)
         film = render_pass(film, data, static, settings, tables, camera,
                            fis_table, ray_idx, t0, t1)
+        if progress is not None:
+            progress(min((p + 1) * pass_size, total), total)
+        if checkpoint_path and ((p + 1) % checkpoint_every == 0
+                                or p + 1 == n_passes):
+            from rayn_tpu.render import checkpoint as ckpt
+            ckpt.save(checkpoint_path, film, settings, frame, p + 1)
     return film

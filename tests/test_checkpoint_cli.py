@@ -1,0 +1,99 @@
+"""Checkpoint/resume and CLI tests."""
+
+import numpy as np
+
+from rayn_tpu.config import RenderSettings
+from rayn_tpu.render import checkpoint, film as film_mod, renderer
+from rayn_tpu.scene import presets
+
+
+def small():
+    return RenderSettings(resolution=(16, 12), spp=4, max_bounces=1,
+                          volume_marches=1, max_marches=16,
+                          max_vis_marches=8, rays_per_pass=128)
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        s = small()
+        f = film_mod.new_film(16 * 12)
+        path = str(tmp_path / "ck.npz")
+        checkpoint.save(path, f, s, frame=1, next_pass=3)
+        loaded = checkpoint.load(path, s, frame=1)
+        assert loaded is not None
+        film2, next_pass = loaded
+        assert next_pass == 3
+        np.testing.assert_array_equal(np.asarray(film2.color),
+                                      np.asarray(f.color))
+
+    def test_fingerprint_mismatch_refused(self, tmp_path):
+        s = small()
+        f = film_mod.new_film(16 * 12)
+        path = str(tmp_path / "ck.npz")
+        checkpoint.save(path, f, s, frame=1, next_pass=3)
+        assert checkpoint.load(path, s, frame=2) is None
+        s2 = RenderSettings(resolution=(16, 12), spp=8)
+        assert checkpoint.load(path, s2, frame=1) is None
+
+    def test_resume_produces_identical_film(self, tmp_path):
+        s = small()
+        data, static, cam = presets.spheres_scene(resolution=s.resolution)
+        ref = renderer.render_frame(data, static, s, cam, frame=1)
+
+        # Render with checkpointing every pass, stop after 2 passes by
+        # saving, then resume from the checkpoint.
+        path = str(tmp_path / "ck.npz")
+        total = 16 * 12 * 4
+        n_passes = -(-total // s.rays_per_pass)
+        assert n_passes >= 4
+
+        calls = []
+
+        def interrupt(done, total):
+            calls.append(done)
+            if len(calls) == 2:
+                raise KeyboardInterrupt
+
+        try:
+            renderer.render_frame(data, static, s, cam, frame=1,
+                                  checkpoint_path=path, checkpoint_every=1,
+                                  progress=interrupt)
+            raised = False
+        except KeyboardInterrupt:
+            raised = True
+        assert raised
+
+        resumed = renderer.render_frame(data, static, s, cam, frame=1,
+                                        checkpoint_path=path,
+                                        checkpoint_every=1)
+        np.testing.assert_allclose(np.asarray(resumed.color),
+                                   np.asarray(ref.color), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(resumed.samples),
+                                      np.asarray(ref.samples))
+
+
+class TestCli:
+    def test_render_tiny_frame(self, tmp_path, capsys):
+        from rayn_tpu import cli
+        rc = cli.main([
+            "--scene", "spheres", "--width", "24", "--height", "16",
+            "--spp", "2", "--bounces", "1", "--max-marches", "8",
+            "--frames", "1", "2", "--out", str(tmp_path),
+            "--channels", "color", "alpha", "--rays-per-pass", "512",
+        ])
+        assert rc == 0
+        assert (tmp_path / "frame0001_2spp_color.png").exists()
+        assert (tmp_path / "frame0001_2spp_alpha.png").exists()
+
+    def test_parser_covers_reference_knobs(self):
+        from rayn_tpu import cli
+        p = build = cli.build_parser()
+        args = p.parse_args([])
+        # reference defaults: 1280x720, 8 spp effective, 3 bounces,
+        # 2 volume marches, frames 1..2, BH filter radius 1.5
+        assert (args.width, args.height) == (1280, 720)
+        assert args.spp == 8 and args.bounces == 3
+        assert args.volume_marches == 2
+        assert tuple(args.frames) == (1, 2)
+        assert args.filter == "blackman_harris"
+        assert args.filter_radius == 1.5

@@ -1,0 +1,56 @@
+"""Pallas march kernels vs the jnp reference implementation (interpret
+mode on CPU; the real-TPU equivalence is exercised by bench/driver runs)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from rayn_tpu.ops import march, march_pallas, sdf
+
+
+def _rays(n, seed=0):
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-4, 4, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+class TestMarchPallasInterpret:
+    def test_matches_jnp_march_mandelbox(self):
+        prog = sdf.mandelbox(6, 1.0, 0.01, 1.9, -2.1)
+        n = 200  # deliberately not a multiple of the 1024-ray block
+        o, d = _rays(n)
+        t_max = jnp.full((n,), 50.0)
+        eps_abs = jnp.zeros((n,))
+        eps_lin = jnp.full((n,), 1e-3)
+        active = jnp.asarray(np.random.default_rng(1).uniform(size=n) > 0.2)
+        a = march.march(prog, o, d, t_max, 2.5e-5, eps_abs, eps_lin,
+                        max_steps=64, active=active)
+        b = march_pallas.march(prog, o, d, t_max, 2.5e-5, eps_abs, eps_lin,
+                               max_steps=64, active=active, interpret=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_matches_jnp_occlusion(self):
+        prog = sdf.sphere(1.0)
+        rng = np.random.default_rng(2)
+        n = 150
+        start = jnp.asarray(rng.uniform(-3, 3, (n, 3)).astype(np.float32))
+        end = jnp.asarray(rng.uniform(-3, 3, (n, 3)).astype(np.float32))
+        active = jnp.ones((n,), bool)
+        a = march.march_occlusion(prog, start, end, 0.5, 64, active=active)
+        b = march_pallas.march_occlusion(prog, start, end, 0.5, 64,
+                                         active=active, interpret=True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_inactive_lanes_miss(self):
+        prog = sdf.sphere(1.0)
+        o = jnp.asarray([[0.0, 0.0, 3.0]] * 4)
+        d = jnp.asarray([[0.0, 0.0, -1.0]] * 4)
+        t_max = jnp.full((4,), 50.0)
+        active = jnp.asarray([True, False, True, False])
+        t = march_pallas.march(prog, o, d, t_max, 1e-4, jnp.zeros(4),
+                               jnp.zeros(4), 64, active, interpret=True)
+        t = np.asarray(t)
+        assert abs(t[0] - 2.0) < 1e-2 and abs(t[2] - 2.0) < 1e-2
+        assert t[1] > 50.0 and t[3] > 50.0

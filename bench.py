@@ -69,10 +69,10 @@ def main():
     t0c, t1c = jnp.float32(1 / 24), jnp.float32(2 / 24)
 
     # warmup/compile on pass 0
-    ray_idx = jnp.arange(rays_per_pass, dtype=jnp.int32)
     t_compile = time.perf_counter()
     film = renderer.render_pass(film, data, static, settings, tables,
-                                camera, fis, ray_idx, t0c, t1c)
+                                camera, fis, jnp.int32(0), rays_per_pass,
+                                t0c, t1c)
     jax.block_until_ready(film)
     compile_s = time.perf_counter() - t_compile
 
@@ -80,19 +80,19 @@ def main():
     timed_rays = 0
     t_start = time.perf_counter()
     while done < total and (time.perf_counter() - t_start) < args.max_seconds:
-        ray_idx = done + jnp.arange(rays_per_pass, dtype=jnp.int32)
         film = renderer.render_pass(film, data, static, settings, tables,
-                                    camera, fis, ray_idx, t0c, t1c)
+                                    camera, fis, jnp.int32(done),
+                                    rays_per_pass, t0c, t1c)
         jax.block_until_ready(film)
         done += rays_per_pass
         timed_rays += rays_per_pass
     elapsed = time.perf_counter() - t_start
 
     if timed_rays == 0:  # single-pass workload: fall back to the warm pass
-        ray_idx = jnp.arange(rays_per_pass, dtype=jnp.int32)
         t = time.perf_counter()
         film = renderer.render_pass(film, data, static, settings, tables,
-                                    camera, fis, ray_idx, t0c, t1c)
+                                    camera, fis, jnp.int32(0),
+                                    rays_per_pass, t0c, t1c)
         jax.block_until_ready(film)
         elapsed = time.perf_counter() - t
         timed_rays = rays_per_pass

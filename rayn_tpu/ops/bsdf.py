@@ -24,7 +24,8 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from rayn_tpu.config import RenderSettings
-from rayn_tpu.scene.scene import DIELECTRIC, EMISSIVE, LAMBERT, SKY, Materials
+from rayn_tpu.scene.scene import (DIELECTRIC, EMISSIVE, LAMBERT, METALLIC,
+                                  REFRACTIVE, SKY, Materials)
 from rayn_tpu.utils import sampling, vecmath
 
 F0 = 0.04          # reference src/material.rs:197, :247
@@ -37,14 +38,22 @@ class MatParams(NamedTuple):
     color_a: jnp.ndarray  # [N, 3]
     color_b: jnp.ndarray  # [N, 3]
     power: jnp.ndarray    # [N]
+    ior: jnp.ndarray      # [N]
 
 
 def gather(materials: Materials, mat_id: jnp.ndarray) -> MatParams:
+    from rayn_tpu.utils.gather import small_gather
+    scalars = jnp.stack([materials.power, materials.ior,
+                         materials.kind.astype(jnp.float32)], axis=-1)
+    colors = jnp.concatenate([materials.color_a, materials.color_b], axis=-1)
+    sc = small_gather(scalars, mat_id)
+    co = small_gather(colors, mat_id)
     return MatParams(
-        kind=materials.kind[mat_id],
-        color_a=materials.color_a[mat_id],
-        color_b=materials.color_b[mat_id],
-        power=materials.power[mat_id],
+        kind=sc[:, 2].astype(jnp.int32),
+        color_a=co[:, 0:3],
+        color_b=co[:, 3:6],
+        power=sc[:, 0],
+        ior=sc[:, 1],
     )
 
 
@@ -52,7 +61,8 @@ def receives_light(p: MatParams) -> jnp.ndarray:
     """[N] bool — whether the surface scatters further light (reference
     src/material.rs:12-14; Sky/Emissive override to false,
     src/material.rs:426-428, :499-501)."""
-    return (p.kind == LAMBERT) | (p.kind == DIELECTRIC)
+    return ((p.kind == LAMBERT) | (p.kind == DIELECTRIC)
+            | (p.kind == METALLIC) | (p.kind == REFRACTIVE))
 
 
 def emitted(p: MatParams, wo: jnp.ndarray) -> jnp.ndarray:
@@ -79,8 +89,15 @@ def eval_f(p: MatParams, wo: jnp.ndarray, wi: jnp.ndarray,
     spec_f = (spec_factor * fresnel)[:, None]
     diel_f = spec_f + p.color_a / sampling.PI * (1.0 - fresnel)[:, None]
 
+    # Metallic: colored-Fresnel Blinn-Phong lobe only (no diffuse).
+    fres_c = p.color_a + (1.0 - p.color_a) * ((1.0 - d) ** 5)[:, None]
+    metal_f = fres_c * spec_factor[:, None]
+
     f = jnp.where((p.kind == LAMBERT)[:, None], lambert_f, 0.0)
     f = jnp.where((p.kind == DIELECTRIC)[:, None], diel_f, f)
+    f = jnp.where((p.kind == METALLIC)[:, None], metal_f, f)
+    # Refractive surfaces get no NEE contribution (near-specular; the
+    # reference stub likewise never participated in NEE).
     return f
 
 
@@ -139,4 +156,49 @@ def scatter(p: MatParams, settings: RenderSettings, wo: jnp.ndarray,
     wi = jnp.where(is_diel[:, None], diel_wi, diffuse_bounce)
     f = jnp.where(is_diel[:, None], diel_f, diffuse_f)
     pdf = jnp.where(is_diel, diel_pdf, lambert_pdf)
+
+    # Metallic: the same Phong lobe around the mirror with colored
+    # Fresnel and no diffuse term (working version of the reference's
+    # commented-out Metallic, src/material.rs:259-322).
+    is_metal = (p.kind == METALLIC)
+    fres_c = p.color_a + (1.0 - p.color_a) * ((1.0 - cos) ** 5)[:, None]
+    metal_f = fres_c * spec_coeff[:, None]
+    wi = jnp.where(is_metal[:, None], spec_bounce, wi)
+    f = jnp.where(is_metal[:, None], metal_f, f)
+    pdf = jnp.where(is_metal, spec_pdf, pdf)
+
+    # Refractive: Fresnel-weighted reflect/refract with a cosine lobe
+    # around the chosen axis and TIR fallback (working version of the
+    # reference's commented-out Refractive, src/material.rs:324-392,
+    # with the lobe treated as perfectly importance-sampled so the
+    # throughput factor is exactly the refract color — the stub's
+    # f = c/(pi cos) with pdf = cos/pi doubled energy).
+    is_refr = (p.kind == REFRACTIVE)
+    cos_i = vecmath.dot(wo, normal)
+    entering = cos_i > 0.0
+    n_ref = jnp.where(entering[:, None], normal, -normal)
+    eta = jnp.where(entering, 1.0 / p.ior, p.ior)
+    ci = jnp.abs(cos_i)
+    sin2_t = eta * eta * jnp.maximum(0.0, 1.0 - ci * ci)
+    tir = sin2_t > 1.0
+    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+    refr_dir = vecmath.normalize(
+        -wo * eta[:, None] + n_ref * (eta * ci - cos_t)[:, None], eps=1e-20)
+    f0 = sampling.f0_from_ior(p.ior)
+    fresnel_r = sampling.f_schlick(ci, f0)
+    reflect_dir = vecmath.reflect(wo, n_ref)
+    take_reflect = (u_fresnel < fresnel_r) | tir
+    axis = jnp.where(take_reflect[:, None], reflect_dir, refr_dir)
+    auu, avv = vecmath.orthonormal_basis(axis)
+    rs = sampling.cosine_hemisphere(u_diffuse[:, 0], u_diffuse[:, 1])
+    refr_wi = vecmath.normalize(
+        vecmath.basis_transform(auu, avv, axis, rs))
+    refr_pdf = jnp.maximum(rs[:, 2] / sampling.PI, 1e-6)
+    refr_color = jnp.where(take_reflect[:, None],
+                           jnp.ones_like(p.color_a), p.color_a)
+    ndl_r = jnp.maximum(jnp.abs(vecmath.dot(refr_wi, normal)), 1e-6)
+    refr_f = refr_color * (refr_pdf / ndl_r)[:, None]
+    wi = jnp.where(is_refr[:, None], refr_wi, wi)
+    f = jnp.where(is_refr[:, None], refr_f, f)
+    pdf = jnp.where(is_refr, refr_pdf, pdf)
     return ScatterEvent(wi, f, pdf)

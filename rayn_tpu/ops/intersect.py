@@ -25,7 +25,8 @@ from rayn_tpu.ops import march as march_ops
 from rayn_tpu.ops import march_pallas
 from rayn_tpu.ops import sdf as sdf_ops
 from rayn_tpu.ops import spheres as sphere_ops
-from rayn_tpu.scene.scene import SceneData, SceneStatic, sphere_centers_at
+from rayn_tpu.scene.scene import (SceneData, SceneStatic, sphere_center_of,
+                                  sphere_centers_at)
 from rayn_tpu.utils import vecmath
 
 
@@ -113,7 +114,7 @@ def test_occluded(data: SceneData, static: SceneStatic,
         occluded = occluded | jnp.any(occ, axis=1)
     if static.has_sdf:
         prog = static.sdf_program(data)
-        if _pallas_ok(settings, prog):
+        if settings.use_pallas_occlusion and _pallas_ok(settings, prog):
             import functools
             occl_fn = functools.partial(
                 march_pallas.march_occlusion,
@@ -147,13 +148,15 @@ def shading_info(data: SceneData, static: SceneStatic,
     mat = jnp.zeros((n,), jnp.int32)
 
     if static.n_spheres:
-        centers = sphere_centers_at(data, time)          # [N, K, 3]
         idx = jnp.clip(hit.obj, 0, static.n_spheres - 1)
-        c = jnp.take_along_axis(centers, idx[:, None, None], axis=1)[:, 0, :]
+        c = sphere_center_of(data, idx, time)            # [N, 3]
         sph_n = vecmath.normalize(point - c, eps=1e-20)
         is_sph = (hit.obj >= 0) & (hit.obj < static.n_spheres)
         normal = jnp.where(is_sph[:, None], sph_n, normal)
-        mat = jnp.where(is_sph, data.sphere_mats[idx], mat)
+        from rayn_tpu.utils.gather import small_gather
+        sph_mat = small_gather(
+            data.sphere_mats.astype(jnp.float32)[:, None], idx)[:, 0]
+        mat = jnp.where(is_sph, sph_mat.astype(jnp.int32), mat)
 
     if static.has_sdf:
         detail = settings.sdf_detail_scale

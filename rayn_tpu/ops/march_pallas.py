@@ -94,6 +94,7 @@ def march(prog: SdfProgram, origin, direction, t_max, eps_const: float,
     """Pallas twin of rayn_tpu.ops.march.march (same semantics, reference
     src/sdf.rs:59-83)."""
     n = origin.shape[0]
+    block_rows = max(block_rows, 8)  # Mosaic minimum (8, 128) tiles
     block = block_rows * LANES
     n_pad = -(-n // block) * block
     rows = n_pad // LANES
@@ -139,7 +140,9 @@ def _occl_kernel(fn_c, treedef, n_leaves, max_steps, eps_c, eps_l,
 
     dist0 = fn_c(prm, s_x, s_y, s_z)
     nan_mask = jnp.isnan(dist0) | jnp.logical_not(active)
-    hit0 = (dist0 < 1e-4) & active
+    # Mosaic cannot carry vector<i1> through scf.while — keep the hit mask
+    # as an int32 vector in the carry.
+    hit0 = ((dist0 < 1e-4) & active).astype(jnp.int32)
 
     def cond(state):
         step, _, _, stop = state
@@ -152,12 +155,12 @@ def _occl_kernel(fn_c, treedef, n_leaves, max_steps, eps_c, eps_l,
         hit = jnp.abs(dist) < jnp.maximum(eps_c, eps_l * t)
         done = hit | gt_nan
         t = jnp.where(done, t, t + dist)
-        return step + 1, t, hit, jnp.all(done)
+        return step + 1, t, hit.astype(jnp.int32), jnp.all(done)
 
-    _, t, hit, _ = jax.lax.while_loop(
+    _, t, hit_i, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), dist0, hit0, jnp.all(nan_mask & False)))
     gt_nan = (t > max_dist) | nan_mask
-    out[:] = (hit & jnp.logical_not(gt_nan)).astype(jnp.int32)
+    out[:] = jnp.where(gt_nan, 0, hit_i)
 
 
 def march_occlusion(prog: SdfProgram, start, end, detail_scale: float,
@@ -167,6 +170,7 @@ def march_occlusion(prog: SdfProgram, start, end, detail_scale: float,
     """Pallas twin of rayn_tpu.ops.march.march_occlusion (reference
     src/sdf.rs:25-57). Returns bool [N]."""
     n = start.shape[0]
+    block_rows = max(block_rows, 8)  # Mosaic minimum (8, 128) tiles
     block = block_rows * LANES
     n_pad = -(-n // block) * block
     rows = n_pad // LANES

@@ -51,26 +51,31 @@ def make_mesh(devices=None, tile_axis: Optional[int] = None) -> Mesh:
 
 def render_pass_sharded(mesh: Mesh, film, data, static,
                         settings: RenderSettings, tables, camera, fis_table,
-                        ray_idx, t0, t1):
-    """One render pass with rays sharded over every mesh axis and the film
-    psum-reduced across the mesh (replicated result)."""
+                        pass_start, per_device: int, t0, t1):
+    """One render pass of `per_device * n_devices` rays, dealt out
+    device-major, with the film psum-reduced across the mesh (replicated
+    result). Ray ids are derived on each device from its mesh coordinates
+    — nothing rides the interconnect but the film psum."""
+    spp_size = mesh.shape["spp"]
 
-    def local_pass(film, data, tables, camera, fis_table, ray_idx, t0, t1):
+    def local_pass(film, data, tables, camera, fis_table, pass_start, t0, t1):
+        dev = (jax.lax.axis_index("tile") * spp_size
+               + jax.lax.axis_index("spp"))
+        start = pass_start + dev.astype(jnp.int32) * per_device
         local = renderer.render_pass(
             film_mod.new_film(film.color.shape[0]), data, static, settings,
-            tables, camera, fis_table, ray_idx, t0, t1)
+            tables, camera, fis_table, start, per_device, t0, t1)
         summed = jax.tree.map(
             lambda x: jax.lax.psum(x, ("tile", "spp")), local)
         return jax.tree.map(jnp.add, film, summed)
 
-    shard_axes = ("tile", "spp")
     fn = jax.shard_map(
         local_pass,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P(shard_axes), P(), P()),
+        in_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
         out_specs=P(),
     )
-    return fn(film, data, tables, camera, fis_table, ray_idx, t0, t1)
+    return fn(film, data, tables, camera, fis_table, pass_start, t0, t1)
 
 
 def render_frame_sharded(data, static, settings: RenderSettings, camera,
@@ -101,11 +106,12 @@ def render_frame_sharded(data, static, settings: RenderSettings, camera,
     t1 = jnp.float32(time_range[1])
 
     @jax.jit
-    def step(film, data, tables, camera, fis_table, ray_idx, t0, t1):
+    def step(film, data, tables, camera, fis_table, pass_start, t0, t1):
         return render_pass_sharded(mesh, film, data, static, settings,
-                                   tables, camera, fis_table, ray_idx, t0, t1)
+                                   tables, camera, fis_table, pass_start,
+                                   per_dev, t0, t1)
 
     for p in range(n_passes):
-        ray_idx = p * pass_size + jnp.arange(pass_size, dtype=jnp.int32)
-        film = step(film, data, tables, camera, fis_table, ray_idx, t0, t1)
+        film = step(film, data, tables, camera, fis_table,
+                    jnp.int32(p * pass_size), t0, t1)
     return film

@@ -30,13 +30,16 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from rayn_tpu.config import RenderSettings
 from rayn_tpu.ops import bsdf as bsdf_ops
 from rayn_tpu.ops import intersect, lights
-from rayn_tpu.scene.scene import SceneData, SceneStatic, light_positions_at
+from rayn_tpu.scene.scene import (SceneData, SceneStatic,
+                                  light_position_of)
 from rayn_tpu.utils import rng, vecmath
+from rayn_tpu.utils.gather import small_gather
 from rayn_tpu.utils.rng import SampleTables
 
 
@@ -74,11 +77,13 @@ def _pick_lights(settings: RenderSettings, static: SceneStatic, u: jnp.ndarray):
     return jnp.clip(idx, 0, static.n_lights - 1)
 
 
-def _gather_lights(data: SceneData, lpos_all: jnp.ndarray, lidx: jnp.ndarray):
-    """lpos_all: [N, L, 3] time-sampled positions; lidx: [N]."""
-    pos = jnp.take_along_axis(lpos_all, lidx[:, None, None], axis=1)[:, 0, :]
-    rad = data.light_radii[lidx]
-    em = data.light_emission[lidx]
+def _gather_lights(data: SceneData, time: jnp.ndarray, lidx: jnp.ndarray):
+    """Per-ray light parameters. Uses one-hot contractions instead of
+    native gathers — a 5-row gather over a 1M-ray wavefront measured
+    ~15 ms on v5e; the one-hot form runs at bandwidth speed."""
+    pos = light_position_of(data, lidx, time)
+    rad = small_gather(data.light_radii[:, None], lidx)[:, 0]
+    em = small_gather(data.light_emission, lidx)
     return pos, rad, em
 
 
@@ -123,7 +128,6 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
     radiance = state.radiance + jnp.where(
         live[:, None], le * state.throughput * vol_trans[:, None], 0.0)
 
-    lpos_all = light_positions_at(data, state.time) if static.n_lights else None
 
     # 3 + 4. NEE and volume single scattering. All shadow segments of this
     # bounce (L NEE + volume_marches*L equi-angular) are gathered first and
@@ -139,7 +143,7 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
             u_pick = rng.sample_1d(s, tables, rng.set1d_light_pick(s, depth, i),
                                    state.sample_idx, state.pixel)
             lidx = _pick_lights(s, static, u_pick)
-            lp, lr, lem = _gather_lights(data, lpos_all, lidx)
+            lp, lr, lem = _gather_lights(data, state.time, lidx)
             u2 = rng.sample_2d(s, tables, rng.set2d_nee(s, depth, i),
                                state.sample_idx, state.pixel)
             end_point, li, pdf = lights.sample_cone(u2, lp, lr, info.point, lem)
@@ -172,7 +176,7 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
                     s, tables, rng.set1d_vol_pick(s, depth, m, i),
                     state.sample_idx, state.pixel)
                 lidx = _pick_lights(s, static, u_pick)
-                lp, lr, lem = _gather_lights(data, lpos_all, lidx)
+                lp, lr, lem = _gather_lights(data, state.time, lidx)
                 vol_dist, vol_pdf = lights.sample_equi_angular(
                     u_dist, lp, state.origin, state.direction, hit.t)
                 sampled_point = state.origin + vol_dist[:, None] * state.direction
@@ -278,11 +282,36 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
     )
 
 
+def compact(state: PathState) -> PathState:
+    """Stable-partition the wavefront: alive lanes first.
+
+    Safe because every lane carries its pixel id and terminal outputs;
+    the film scatter at the end of the pass is permutation-invariant.
+    This is the reference's dense repacking (src/film.rs:604-625) as a
+    sort instead of a CPU-side queue rebuild; stability preserves the
+    pixel-major coherence the Pallas block early-exit relies on.
+    """
+    n = state.alive.shape[0]
+    alive = state.alive
+    # O(N) stable partition: destination = rank among alive lanes, or
+    # n_alive + rank among dead lanes; invert with one scatter. Much
+    # cheaper on TPU than argsort.
+    alive_rank = jnp.cumsum(alive.astype(jnp.int32)) - 1
+    n_alive = alive_rank[-1] + 1
+    dead_rank = jnp.cumsum(jnp.logical_not(alive).astype(jnp.int32)) - 1
+    dest = jnp.where(alive, alive_rank, n_alive + dead_rank)
+    order = jnp.zeros((n,), jnp.int32).at[dest].set(
+        jnp.arange(n, dtype=jnp.int32))
+    return jax.tree.map(lambda a: jnp.take(a, order, axis=0), state)
+
+
 def trace(data: SceneData, static: SceneStatic, settings: RenderSettings,
           tables: SampleTables, state: PathState,
           hps_abs0: jnp.ndarray, hps_lin0: jnp.ndarray) -> PathState:
     """Run the full (statically unrolled) bounce loop."""
     for depth in range(settings.max_bounces + 1):
+        if depth > 0 and settings.compact_bounces:
+            state = compact(state)
         state = bounce(data, static, settings, tables, state, depth,
                        hps_abs0, hps_lin0)
     return state

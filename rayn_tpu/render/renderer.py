@@ -27,6 +27,12 @@ from rayn_tpu.utils import rng
 from rayn_tpu.utils.rng import SampleTables
 
 
+def ray_indices(pass_start: jnp.ndarray, pass_size: int) -> jnp.ndarray:
+    """Flat ray ids for one pass, built on device (shipping a host-side
+    arange through the interconnect cost ~4 MB/pass)."""
+    return pass_start + jnp.arange(pass_size, dtype=jnp.int32)
+
+
 def generate_rays(settings: RenderSettings, tables: SampleTables,
                   camera: Camera, fis_table: jnp.ndarray,
                   ray_idx: jnp.ndarray, t0: jnp.ndarray, t1: jnp.ndarray):
@@ -61,27 +67,34 @@ def generate_rays(settings: RenderSettings, tables: SampleTables,
     return origin, direction, time, pixel, sample_idx, in_range
 
 
-@functools.partial(jax.jit, static_argnames=("static", "settings"),
+@functools.partial(jax.jit,
+                   static_argnames=("static", "settings", "pass_size"),
                    donate_argnames=("film",))
 def render_pass(film: film_mod.Film, data: SceneData, static: SceneStatic,
                 settings: RenderSettings, tables: SampleTables,
                 camera: Camera, fis_table: jnp.ndarray,
-                ray_idx: jnp.ndarray, t0: jnp.ndarray, t1: jnp.ndarray
-                ) -> film_mod.Film:
-    """Render one pass of rays and accumulate into the film."""
+                pass_start: jnp.ndarray, pass_size: int,
+                t0: jnp.ndarray, t1: jnp.ndarray) -> film_mod.Film:
+    """Render one pass of rays [pass_start, pass_start+pass_size) and
+    accumulate into the film."""
+    ray_idx = ray_indices(pass_start, pass_size)
     origin, direction, time, pixel, sample_idx, in_range = generate_rays(
         settings, tables, camera, fis_table, ray_idx, t0, t1)
     hps_abs0, hps_lin0 = camera.half_pixel_size_coeffs()
     state = init_state(origin, direction, time, pixel, sample_idx, in_range)
     state = trace(data, static, settings, tables, state, hps_abs0, hps_lin0)
-    count = in_range.astype(jnp.float32)
-    return film_mod.splat(
-        film, pixel,
+    # Channels are splatted via the *state's* pixel ids (compaction may
+    # have permuted lanes); the per-pixel sample count uses the original
+    # order (every in-range ray counts once regardless of its fate).
+    film = film_mod.splat(
+        film, state.pixel,
         color=state.color_out,
         alpha=state.alpha_out,
         background=state.bg_out,
         normal=state.normal_out,
-        count=count)
+        count=jnp.zeros_like(state.alpha_out))
+    return film._replace(
+        samples=film.samples.at[pixel].add(in_range.astype(jnp.float32)))
 
 
 def render_frame(data: SceneData, static: SceneStatic,
@@ -124,9 +137,9 @@ def render_frame(data: SceneData, static: SceneStatic,
     t0 = jnp.float32(time_range[0])
     t1 = jnp.float32(time_range[1])
     for p in range(start_pass, n_passes):
-        ray_idx = p * pass_size + jnp.arange(pass_size, dtype=jnp.int32)
         film = render_pass(film, data, static, settings, tables, camera,
-                           fis_table, ray_idx, t0, t1)
+                           fis_table, jnp.int32(p * pass_size), pass_size,
+                           t0, t1)
         if progress is not None:
             progress(min((p + 1) * pass_size, total), total)
         if checkpoint_path and ((p + 1) % checkpoint_every == 0

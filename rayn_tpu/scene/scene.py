@@ -32,17 +32,22 @@ LAMBERT = 0
 DIELECTRIC = 1
 SKY = 2
 EMISSIVE = 3
+# Working implementations of the BSDFs the reference left as commented
+# stubs (src/material.rs:259-392):
+METALLIC = 4
+REFRACTIVE = 5
 
 # Material kinds that bounce light further ("receives_light" in the
 # reference, src/material.rs:12-14, :426-428, :499-501).
-RECEIVING_KINDS = (LAMBERT, DIELECTRIC)
+RECEIVING_KINDS = (LAMBERT, DIELECTRIC, METALLIC, REFRACTIVE)
 
 
 class Materials(NamedTuple):
     kind: jnp.ndarray      # [M] int32
-    color_a: jnp.ndarray   # [M, 3] albedo (lambert/dielectric) or sky top
+    color_a: jnp.ndarray   # [M, 3] albedo / F0 (metallic) / sky top
     color_b: jnp.ndarray   # [M, 3] emission (emissive) or sky bottom
-    power: jnp.ndarray     # [M] Phong exponent (dielectric); 0 otherwise
+    power: jnp.ndarray     # [M] Phong exponent (dielectric/metallic)
+    ior: jnp.ndarray       # [M] index of refraction (refractive)
 
 
 class SceneData(NamedTuple):
@@ -67,19 +72,34 @@ class SceneStatic:
     n_materials: int
     has_sdf: bool
     sdf_fn: Optional[Callable]     # static dist function (hash by identity)
+    sdf_fn_c: Optional[Callable]   # component-form twin (Pallas fast path)
     sdf_mat: int                   # material id of the SDF surface
     has_scattering: bool
     has_extinction: bool
 
     def sdf_program(self, data: SceneData) -> SdfProgram:
         assert self.has_sdf
-        return SdfProgram(self.sdf_fn, data.sdf_params)
+        return SdfProgram(self.sdf_fn, data.sdf_params, self.sdf_fn_c)
 
 
 def sphere_centers_at(data: SceneData, time: jnp.ndarray) -> jnp.ndarray:
     """[N, K, 3] sphere centers at each ray's time (motion blur,
     reference src/sphere.rs:49)."""
     return sample_batched(data.sphere_centers, time)
+
+
+def sphere_center_of(data: SceneData, obj_idx: jnp.ndarray,
+                     time: jnp.ndarray) -> jnp.ndarray:
+    """[N, 3] center of per-ray sphere obj_idx at each ray's time."""
+    from rayn_tpu.scene.animation import sample_batched_at
+    return sample_batched_at(data.sphere_centers, obj_idx, time)
+
+
+def light_position_of(data: SceneData, light_idx: jnp.ndarray,
+                      time: jnp.ndarray) -> jnp.ndarray:
+    """[N, 3] center of per-ray light light_idx at each ray's time."""
+    from rayn_tpu.scene.animation import sample_batched_at
+    return sample_batched_at(data.light_pos, light_idx, time)
 
 
 def light_positions_at(data: SceneData, time: jnp.ndarray) -> jnp.ndarray:
@@ -103,6 +123,7 @@ class SceneBuilder:
         self._mat_a: list[np.ndarray] = []
         self._mat_b: list[np.ndarray] = []
         self._mat_power: list[float] = []
+        self._mat_ior: list[float] = []
         self._sphere_centers: list[AnimChannel] = []
         self._sphere_radii: list[float] = []
         self._sphere_mats: list[int] = []
@@ -115,11 +136,12 @@ class SceneBuilder:
         self._sigma_t: Optional[float] = None
 
     # --- materials (reference src/material.rs:58-73) ----------------------
-    def _add_material(self, kind, a, b, power) -> int:
+    def _add_material(self, kind, a, b, power, ior=1.0) -> int:
         self._mat_kind.append(kind)
         self._mat_a.append(np.asarray(a, np.float32))
         self._mat_b.append(np.asarray(b, np.float32))
         self._mat_power.append(float(power))
+        self._mat_ior.append(float(ior))
         return len(self._mat_kind) - 1
 
     def add_lambertian(self, albedo) -> int:
@@ -135,6 +157,23 @@ class SceneBuilder:
 
     def add_dielectric_power(self, albedo, power: float) -> int:
         return self._add_material(DIELECTRIC, albedo, np.zeros(3), power)
+
+    def add_metallic(self, f0, roughness: float) -> int:
+        """Colored-Fresnel metal with a Phong specular lobe — a working
+        version of the reference's commented-out Metallic
+        (src/material.rs:259-322). Roughness remapped like Dielectric."""
+        r = 1.0 - roughness
+        power = 1.0 + (r ** 4) * 300.0
+        return self._add_material(METALLIC, f0, np.zeros(3), power)
+
+    def add_refractive(self, refract_color, roughness: float,
+                       ior: float) -> int:
+        """Rough glass: Fresnel-weighted reflect/refract with cosine
+        lobes and total-internal-reflection fallback — a working version
+        of the reference's commented-out Refractive
+        (src/material.rs:324-392)."""
+        return self._add_material(REFRACTIVE, refract_color, np.zeros(3),
+                                  0.0, ior)
 
     def add_sky(self, top, bottom) -> int:
         """Vertical-gradient sky (reference src/material.rs:394-449)."""
@@ -187,6 +226,7 @@ class SceneBuilder:
             color_a=jnp.asarray(np.stack(self._mat_a)),
             color_b=jnp.asarray(np.stack(self._mat_b)),
             power=jnp.asarray(self._mat_power, jnp.float32),
+            ior=jnp.asarray(self._mat_ior, jnp.float32),
         )
         data = SceneData(
             sphere_centers=centers,
@@ -208,6 +248,7 @@ class SceneBuilder:
             n_materials=len(self._mat_kind),
             has_sdf=self._sdf is not None,
             sdf_fn=self._sdf.fn if self._sdf else None,
+            sdf_fn_c=self._sdf.fn_c if self._sdf else None,
             sdf_mat=self._sdf_mat,
             has_scattering=self._sigma_s is not None,
             has_extinction=self._sigma_t is not None,

@@ -88,27 +88,61 @@ def rd_sequence(dims: int, n: int, index_offset: int) -> np.ndarray:
 
 
 class SampleTables(NamedTuple):
-    """Device-resident R_d tables (pytree). Empty (shape [0,...]) in hash
-    mode."""
-    t1d: jnp.ndarray  # [num_1d_sets, spp]
-    t2d: jnp.ndarray  # [num_2d_sets, spp, 2]
-    frame: jnp.ndarray  # uint32 scalar, salts the hash/scramble streams
+    """Sampler stream state (pytree). Both samplers are fully
+    counter-based on device — no tables are shipped; only the frame salt
+    lives here (kept as a NamedTuple for pytree/API stability)."""
+    frame: jnp.ndarray  # uint32 scalar, salts the streams
 
 
 def build_sample_tables(settings: RenderSettings, frame: int) -> SampleTables:
-    spp = settings.spp
-    if settings.sampler == "hash":
-        t1d = jnp.zeros((0, spp), jnp.float32)
-        t2d = jnp.zeros((0, spp, 2), jnp.float32)
-        return SampleTables(t1d, t2d, jnp.uint32(frame))
-    s1, s2 = settings.num_1d_sets, settings.num_2d_sets
-    t1d = np.empty((s1, spp), np.float32)
-    for i in range(s1):
-        t1d[i] = rd_sequence(1, spp, (frame + i) << 32)[:, 0]
-    t2d = np.empty((s2, spp, 2), np.float32)
-    for j in range(s2):
-        t2d[j] = rd_sequence(2, spp, (frame + s1 + j) << 32)
-    return SampleTables(jnp.asarray(t1d), jnp.asarray(t2d), jnp.uint32(frame))
+    return SampleTables(jnp.uint32(frame))
+
+
+# ---------------------------------------------------------------------------
+# On-device R_d evaluation (exact u64 fixed point via 32-bit limbs)
+# ---------------------------------------------------------------------------
+# value(set, n) needs bits 40..63 of ((offset + n) * alpha) mod 2^64 with
+# offset = set_base << 32 (see rd_sequence). Writing alpha = aH*2^32 + aL
+# and the index as set_base*2^32 + n, those bits are (H >> 8) where
+#   H = hi32(aL * n) + aL*set_base + aH*n   (mod 2^32).
+# hi32 of the 32x32 product is built from 16-bit partial products, all in
+# wrapping uint32 arithmetic — bit-identical to the host rd_sequence
+# tables, with zero memory traffic (a 1M-ray table gather measured ~4 ms
+# per set on v5e; this is pure VPU arithmetic).
+
+_A1 = rd_alphas_u64(1)[0]
+_A2 = rd_alphas_u64(2)
+_M16 = 0xFFFF
+
+
+def _rd_bits(alpha: int, set_base: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+    """(H >> 8) * 2^-24 as float32 in [0, 1)."""
+    a_l = jnp.uint32(alpha & 0xFFFFFFFF)
+    a_h = jnp.uint32((alpha >> 32) & 0xFFFFFFFF)
+    a0 = jnp.uint32(alpha & _M16)
+    a1 = jnp.uint32((alpha >> 16) & _M16)
+    n = n.astype(jnp.uint32)
+    n0 = n & jnp.uint32(_M16)
+    n1 = n >> jnp.uint32(16)
+    m00 = a0 * n0
+    m01 = a0 * n1
+    m10 = a1 * n0
+    m11 = a1 * n1
+    carry = ((m00 >> jnp.uint32(16)) + (m01 & jnp.uint32(_M16))
+             + (m10 & jnp.uint32(_M16))) >> jnp.uint32(16)
+    p0h = m11 + (m01 >> jnp.uint32(16)) + (m10 >> jnp.uint32(16)) + carry
+    h = p0h + a_l * set_base.astype(jnp.uint32) + a_h * n
+    return (h >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(2.0 ** -24)
+
+
+def rd_value_1d(frame: jnp.ndarray, set_id: int, n: jnp.ndarray):
+    return _rd_bits(_A1, frame + jnp.uint32(set_id), n)
+
+
+def rd_value_2d(frame: jnp.ndarray, num_1d_sets: int, set_id: int,
+                n: jnp.ndarray):
+    base = frame + jnp.uint32(num_1d_sets + set_id)
+    return (_rd_bits(_A2[0], base, n), _rd_bits(_A2[1], base, n))
 
 
 # ---------------------------------------------------------------------------
@@ -156,7 +190,7 @@ def sample_1d(settings: RenderSettings, tables: SampleTables, set_id: int,
     if settings.sampler == "hash":
         return hash_to_unit_f32(hash_combine(
             pixel, sample_idx, jnp.uint32(_SET_SALT_1D ^ set_id), tables.frame))
-    base = tables.t1d[set_id, sample_idx]
+    base = rd_value_1d(tables.frame, set_id, sample_idx)
     scr = _scramble(tables, pixel, _SET_SALT_1D, set_id)
     return jnp.mod(base + scr, 1.0)
 
@@ -172,9 +206,11 @@ def sample_2d(settings: RenderSettings, tables: SampleTables, set_id: int,
             pixel, sample_idx, jnp.uint32(_SET_SALT_2D ^ (2 * set_id + 1)),
             tables.frame))
         return jnp.stack([u, v], axis=-1)
-    base = tables.t2d[set_id][sample_idx]  # [..., 2]
+    bu, bv = rd_value_2d(tables.frame, settings.num_1d_sets, set_id,
+                         sample_idx)
     scr_u = _scramble(tables, pixel, _SET_SALT_2D, 2 * set_id)
     scr_v = _scramble(tables, pixel, _SET_SALT_2D, 2 * set_id + 1)
+    base = jnp.stack([bu, bv], axis=-1)
     scr = jnp.stack([scr_u, scr_v], axis=-1)
     return jnp.mod(base + scr, 1.0)
 

@@ -1,0 +1,347 @@
+"""Scalar CPU oracle renderer (SURVEY.md §4 "CPU oracle").
+
+An independent, loop-per-ray numpy implementation of the full integrator
+semantics (ray generation -> bounces -> NEE -> volume -> scatter -> film),
+fed the *same* sampler streams as the production wavefront renderer, so
+the two must agree to float32 tolerance. The production code path is
+vectorized masked wavefronts; this one is plain per-sample Python — they
+share no implementation.
+
+Sphere-scene only (marching an SDF per scalar sample is impractically
+slow in Python; geometry parity for the SDF path is covered by the march
+oracle tests in test_geometry.py).
+"""
+
+import numpy as np
+
+import oracle
+
+PI = np.pi
+
+
+class OracleSampler:
+    """Precomputes every sampler stream via rayn_tpu.utils.rng (streams
+    are infrastructure shared with production; the physics below is not)."""
+
+    def __init__(self, settings, frame, n_pixels):
+        import jax.numpy as jnp
+        from rayn_tpu.utils import rng as rng_mod
+        tables = rng_mod.build_sample_tables(settings, frame)
+        pixels = jnp.arange(n_pixels, dtype=jnp.int32)[:, None]
+        pixels = jnp.broadcast_to(pixels, (n_pixels, settings.spp))
+        sidx = jnp.broadcast_to(
+            jnp.arange(settings.spp, dtype=jnp.int32)[None, :],
+            (n_pixels, settings.spp))
+        self.t1d = np.stack([
+            np.asarray(rng_mod.sample_1d(settings, tables, s, sidx, pixels))
+            for s in range(settings.num_1d_sets)])
+        self.t2d = np.stack([
+            np.asarray(rng_mod.sample_2d(settings, tables, s, sidx, pixels))
+            for s in range(settings.num_2d_sets)])
+
+    def u1(self, set_id, pixel, sample):
+        return float(self.t1d[set_id, pixel, sample])
+
+    def u2(self, set_id, pixel, sample):
+        return self.t2d[set_id, pixel, sample].astype(np.float64)
+
+
+def onb(n):
+    ks = 1.0 if n[2] >= 0.0 else -1.0
+    ka = 1.0 / (1.0 + abs(n[2]))
+    kb = -ks * n[0] * n[1] * ka
+    uu = np.array([1.0 - n[0] * n[0] * ka, ks * kb, -ks * n[0]])
+    vv = np.array([kb, ks - n[1] * n[1] * ka * ks, -n[1]])
+    return uu, vv
+
+
+def concentric_disk(u, v):
+    a, b = 2 * u - 1, 2 * v - 1
+    if a == 0 and b == 0:
+        b = 1e-4
+    if a * a > b * b:
+        r, phi = a, (PI / 4) * b / a
+    else:
+        r, phi = b, PI / 2 - (PI / 4) * a / b
+    return r * np.cos(phi), r * np.sin(phi)
+
+
+def cosine_hemisphere(u, v):
+    x, y = concentric_disk(u, v)
+    z = np.sqrt(1.0 - min(x * x + y * y, 1.0))
+    return np.array([x, y, z])
+
+
+def cosine_power(u, v, power):
+    a = u ** (1.0 / (power + 1.0))
+    b = np.sqrt(max(0.0, 1.0 - a * a))
+    phi = 2 * PI * v
+    return np.array([b * np.cos(phi), b * np.sin(phi), a])
+
+
+def schlick(c, f0=0.04):
+    return f0 + (1 - f0) * (1 - c) ** 5
+
+
+class OracleScene:
+    """Mirror of presets.spheres_scene-style scenes: lists of dict specs."""
+
+    def __init__(self, data, static):
+        self.centers = np.asarray(data.sphere_centers.values)[:, 0, :]
+        self.radii = np.asarray(data.sphere_radii)
+        self.mats = np.asarray(data.sphere_mats)
+        self.kind = np.asarray(data.materials.kind)
+        self.color_a = np.asarray(data.materials.color_a, np.float64)
+        self.color_b = np.asarray(data.materials.color_b, np.float64)
+        self.power = np.asarray(data.materials.power, np.float64)
+        self.lights_p = np.asarray(data.light_pos.values)[:, 0, :]
+        self.lights_r = np.asarray(data.light_radii)
+        self.lights_e = np.asarray(data.light_emission, np.float64)
+        self.sigma_s = float(data.volume_sigma_s) if static.has_scattering else None
+        self.sigma_t = float(data.volume_sigma_t) if static.has_extinction else None
+
+    def closest_hit(self, o, d, t_max):
+        best, idx = t_max, -1
+        for k in range(len(self.radii)):
+            t = oracle.sphere_hit(o, d, self.centers[k], self.radii[k], best)
+            if t is not None and t < best:
+                best, idx = t, k
+        return best, idx
+
+    def occluded(self, a, b):
+        seg = b - a
+        dist = np.linalg.norm(seg)
+        d = seg / dist
+        for k in range(len(self.radii)):
+            oc = a - self.centers[k]
+            bq = float(np.dot(oc, d))
+            cq = float(np.dot(oc, oc)) - self.radii[k] ** 2
+            disc = bq * bq - cq
+            if disc <= 0:
+                continue
+            sq = np.sqrt(disc)
+            t1, t2 = -bq - sq, -bq + sq
+            if min(t1, t2) > 1e-3 and t1 <= dist:
+                return True
+        return False
+
+
+def render_oracle(data, static, settings, camera, frame, time_range,
+                  fis_table):
+    """Returns dict of [H, W(,3)] mean images matching film.resolve."""
+    from rayn_tpu.utils import rng as rng_mod
+
+    w, h = settings.resolution
+    scene = OracleScene(data, static)
+    sampler = OracleSampler(settings, frame, w * h)
+
+    # static pinhole camera parameters
+    org0 = np.asarray(camera.origin.values)[0].astype(np.float64)
+    at0 = np.asarray(camera.at.values)[0].astype(np.float64)
+    up0 = np.asarray(camera.up.values)[0].astype(np.float64)
+    half_w = float(camera.half_w)
+    half_h = float(camera.half_h)
+    ww = (org0 - at0) / np.linalg.norm(org0 - at0)
+    uu = np.cross(up0, ww)
+    uu /= np.linalg.norm(uu)
+    vv = np.cross(ww, uu)
+    lower_left = org0 - uu * half_w - vv * half_h - ww
+
+    fis = np.asarray(fis_table, np.float64)
+
+    def fis_sample(u):
+        n = len(fis)
+        u2 = 2.0 * (u - 0.5)
+        mult = -1.0 if u2 < 0 else 1.0
+        ua = min(max(abs(u2), 0.0), 0.99999)
+        idxf = ua * (n - 1)
+        i = int(np.floor(idxf))
+        t = idxf - i
+        return mult * (fis[i] * (1 - t) + fis[i + 1] * t)
+
+    color = np.zeros((h, w, 3))
+    alpha = np.zeros((h, w))
+    background = np.zeros((h, w, 3))
+    normal_img = np.zeros((h, w, 3))
+
+    s = settings
+    for py in range(h):
+        for px in range(w):
+            pix = px + py * w
+            for samp in range(s.spp):
+                upx = sampler.u2(rng_mod.set2d_pixel_uv(), pix, samp)
+                ox = fis_sample(upx[0])
+                oy = fis_sample(upx[1])
+                ndc = np.array([(px + 0.5 + ox) / w, (py + 0.5 + oy) / h])
+                d = (lower_left + uu * (2 * half_w) * ndc[0]
+                     + vv * (2 * half_h) * ndc[1] - org0)
+                d = d / np.linalg.norm(d)
+                o = org0.copy()
+
+                radiance = np.zeros(3)
+                tp = np.ones(3)
+                for depth in range(s.max_bounces + 1):
+                    t, obj = scene.closest_hit(o, d, 2.0 * s.world_radius)
+                    if obj < 0:
+                        break
+                    p = o + t * d
+                    n = (p - scene.centers[obj])
+                    n /= np.linalg.norm(n)
+                    mat = scene.mats[obj]
+                    kind = scene.kind[mat]
+                    wo = -d
+                    vol_trans = (np.exp(-scene.sigma_t * t)
+                                 if scene.sigma_t is not None else 1.0)
+
+                    # emission
+                    if kind == 2:  # sky
+                        tt = 0.5 * (wo[1] + 1.0)
+                        le = (scene.color_a[mat] * (1 - tt)
+                              + scene.color_b[mat] * tt)
+                        radiance += le * tp * vol_trans
+                    elif kind == 3:  # emissive
+                        radiance += scene.color_b[mat] * tp * vol_trans
+                    receives = kind in (0, 1)
+
+                    # NEE
+                    if len(scene.lights_r) and receives:
+                        corr = len(scene.lights_r) / s.nee_light_samples
+                        for i in range(s.nee_light_samples):
+                            up = sampler.u1(
+                                rng_mod.set1d_light_pick(s, depth, i), pix,
+                                samp)
+                            li_idx = min(int(up * len(scene.lights_r)),
+                                         len(scene.lights_r) - 1)
+                            u2v = sampler.u2(
+                                rng_mod.set2d_nee(s, depth, i), pix, samp)
+                            lp_pt, pdf = oracle.cone_light_sample(
+                                u2v[0], u2v[1], scene.lights_p[li_idx],
+                                scene.lights_r[li_idx], p)
+                            wi_full = lp_pt - p
+                            dist = np.linalg.norm(wi_full)
+                            wi = wi_full / dist
+                            ndl = max(0.0, float(np.dot(n, wi)))
+                            occ_o = p  # sphere offset_by = 0
+                            if scene.occluded(occ_o, lp_pt):
+                                continue
+                            # bsdf f
+                            if kind == 0:
+                                f = scene.color_a[mat] / PI
+                            else:
+                                fr = schlick(ndl)
+                                half = wo + wi
+                                half /= np.linalg.norm(half)
+                                ca = max(0.0, float(np.dot(half, n))) ** \
+                                    scene.power[mat]
+                                spec = ca * (scene.power[mat] + 2) / (2 * PI)
+                                f = (spec * fr
+                                     + scene.color_a[mat] / PI * (1 - fr))
+                            seg_tr = (np.exp(-scene.sigma_t * dist)
+                                      if scene.sigma_t is not None else 1.0)
+                            radiance += (scene.lights_e[li_idx] * f * ndl
+                                         * seg_tr / pdf * tp * corr
+                                         * vol_trans)
+
+                    # volume
+                    if scene.sigma_s is not None and len(scene.lights_r):
+                        vc = (len(scene.lights_r) / s.nee_light_samples
+                              / s.volume_marches)
+                        for m in range(s.volume_marches):
+                            ud = sampler.u1(
+                                rng_mod.set1d_vol_dist(s, depth, m), pix,
+                                samp)
+                            for i in range(s.nee_light_samples):
+                                up = sampler.u1(
+                                    rng_mod.set1d_vol_pick(s, depth, m, i),
+                                    pix, samp)
+                                li_idx = min(int(up * len(scene.lights_r)),
+                                             len(scene.lights_r) - 1)
+                                vd, vpdf = oracle.equi_angular_sample(
+                                    ud, scene.lights_p[li_idx], o, d, t)
+                                sp = o + vd * d
+                                u2v = sampler.u2(
+                                    rng_mod.set2d_vol(s, depth, m, i), pix,
+                                    samp)
+                                lp_pt, lpdf = oracle.cone_light_sample(
+                                    u2v[0], u2v[1], scene.lights_p[li_idx],
+                                    scene.lights_r[li_idx], sp)
+                                dpl = np.linalg.norm(lp_pt - sp)
+                                if scene.occluded(sp, lp_pt):
+                                    continue
+                                seg_tr = (np.exp(-scene.sigma_t * dpl)
+                                          if scene.sigma_t is not None
+                                          else 1.0)
+                                tp_tr = (np.exp(-scene.sigma_t * vd)
+                                         if scene.sigma_t is not None
+                                         else 1.0)
+                                radiance += (scene.lights_e[li_idx]
+                                             * (1 / (4 * PI)) * seg_tr
+                                             / (vpdf * lpdf) * vc
+                                             * scene.sigma_s * tp_tr * tp)
+
+                    if depth == 0 and receives:
+                        alpha[py, px] += 1.0
+                        normal_img[py, px] += n
+
+                    if not receives:
+                        if depth == 0:
+                            background[py, px] += radiance
+                        else:
+                            color[py, px] += radiance
+                        break
+
+                    # scatter
+                    uf = sampler.u1(rng_mod.set1d_fresnel(s, depth), pix, samp)
+                    udiff = sampler.u2(rng_mod.set2d_diffuse(s, depth), pix,
+                                       samp)
+                    uspec = sampler.u2(rng_mod.set2d_spec(s, depth), pix, samp)
+                    buu, bvv = onb(n)
+                    ds = cosine_hemisphere(udiff[0], udiff[1])
+                    dbounce = buu * ds[0] + bvv * ds[1] + n * ds[2]
+                    dbounce /= np.linalg.norm(dbounce)
+                    lam_pdf = ds[2] / PI
+                    if kind == 0:
+                        wi, f, pdf = dbounce, scene.color_a[mat] / PI, lam_pdf
+                    else:
+                        power = scene.power[mat]
+                        refl = 2 * np.dot(wo, n) * n - wo
+                        ruu, rvv = onb(refl)
+                        ss = cosine_power(uspec[0], uspec[1], power)
+                        sbounce = ruu * ss[0] + rvv * ss[1] + refl * ss[2]
+                        sbounce /= np.linalg.norm(sbounce)
+                        cap = max(ss[2] ** power, 1.1920929e-07)
+                        spdf = (power + 1) / (2 * PI) * cap
+                        scoeff = 0.0 if np.dot(n, sbounce) < 0 else \
+                            (power + 2) / (2 * PI) * cap
+                        fr = schlick(abs(float(np.dot(n, wo))))
+                        if uf < fr:
+                            wi = sbounce
+                            f = np.array([scoeff] * 3)
+                        else:
+                            wi = dbounce
+                            f = scene.color_a[mat] / PI
+                        pdf = fr * spdf + (1 - fr) * max(1e-5, lam_pdf)
+                    ndl = abs(float(np.dot(wi, n)))
+                    new_tp = tp * vol_trans * f * ndl / pdf
+                    if depth > 2:
+                        rf = max(1.0 - tp.max(), 0.05)
+                        new_tp = new_tp / (1.0 - rf)
+                    else:
+                        rf = 0.0
+                    ur = sampler.u1(rng_mod.set1d_roulette(s, depth), pix,
+                                    samp)
+                    if depth >= s.max_bounces or ur < rf:
+                        color[py, px] += radiance
+                        break
+                    if not np.any(np.isnan(new_tp)):
+                        tp = new_tp
+                    o = p  # sphere offset_by = 0
+                    d = wi
+
+    spp = float(s.spp)
+    return {
+        "color": color / spp,
+        "alpha": alpha / spp,
+        "background": background / spp,
+        "normal": normal_img / spp,
+    }

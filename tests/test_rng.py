@@ -36,11 +36,33 @@ class TestRd:
 
     def test_deterministic(self):
         s = small_settings()
+        idx = jnp.arange(16, dtype=jnp.int32) % s.spp
+        px = jnp.arange(16, dtype=jnp.int32)
         t1 = rng.build_sample_tables(s, frame=1)
         t2 = rng.build_sample_tables(s, frame=1)
-        np.testing.assert_array_equal(np.asarray(t1.t1d), np.asarray(t2.t1d))
+        a = np.asarray(rng.sample_1d(s, t1, 2, idx, px))
+        b = np.asarray(rng.sample_1d(s, t2, 2, idx, px))
+        np.testing.assert_array_equal(a, b)
         t3 = rng.build_sample_tables(s, frame=2)
-        assert not np.array_equal(np.asarray(t1.t1d), np.asarray(t3.t1d))
+        c = np.asarray(rng.sample_1d(s, t3, 2, idx, px))
+        assert not np.array_equal(a, c)
+
+    def test_on_device_rd_matches_host_tables(self):
+        # the arithmetic R_d evaluation must be bit-identical to the host
+        # u64 fixed-point tables
+        s = small_settings()
+        frame = 3
+        for set_id in (0, 7):
+            want = rng.rd_sequence(1, 64, (frame + set_id) << 32)[:, 0]
+            got = np.asarray(rng.rd_value_1d(
+                jnp.uint32(frame), set_id, jnp.arange(64, dtype=jnp.uint32)))
+            np.testing.assert_array_equal(want, got)
+        for set_id in (0, 2):
+            want = rng.rd_sequence(2, 64, (frame + s.num_1d_sets + set_id) << 32)
+            u, v = rng.rd_value_2d(jnp.uint32(frame), s.num_1d_sets, set_id,
+                                   jnp.arange(64, dtype=jnp.uint32))
+            np.testing.assert_array_equal(want[:, 0], np.asarray(u))
+            np.testing.assert_array_equal(want[:, 1], np.asarray(v))
 
 
 class TestHash:

@@ -38,6 +38,13 @@ def main():
     ap.add_argument("--max-seconds", type=float, default=60.0)
     ap.add_argument("--save", type=str, default=None,
                     help="optionally save the benchmark render to PNGs")
+    ap.add_argument("--relax", type=float, default=1.0,
+                    help="sphere-trace over-relaxation factor")
+    ap.add_argument("--config", default="fractal",
+                    choices=("fractal", "spheres", "no-volume", "animated"),
+                    help="BASELINE.json benchmark config: fractal=#1/#3, "
+                         "spheres=#2, no-volume=fractal w/o medium, "
+                         "animated=#5 (motion-blurred camera)")
     args = ap.parse_args()
 
     import jax
@@ -58,8 +65,14 @@ def main():
 
     settings = RenderSettings(resolution=res, spp=spp,
                               max_marches=marches,
-                              rays_per_pass=rays_per_pass)
-    data, static, camera = presets.default_scene(resolution=res)
+                              rays_per_pass=rays_per_pass,
+                              march_relaxation=args.relax)
+    if args.config == "spheres":
+        data, static, camera = presets.spheres_scene(resolution=res)
+    else:
+        data, static, camera = presets.default_scene(
+            resolution=res, volume=(args.config != "no-volume"),
+            animated=(args.config == "animated"))
     tables = rng.build_sample_tables(settings, frame=1)
     fis = filter_ops.build_fis_table(filter_ops.blackman_harris(1.5),
                                      settings.filter_table_size)
@@ -68,12 +81,18 @@ def main():
     film = film_mod.new_film(n_pixels)
     t0c, t1c = jnp.float32(1 / 24), jnp.float32(2 / 24)
 
+    def sync(f):
+        # Force a real device->host readback: block_until_ready on the
+        # (donated) film pytree was observed returning early through the
+        # axon tunnel, which silently corrupts timing.
+        return float(f.samples[-1])
+
     # warmup/compile on pass 0
     t_compile = time.perf_counter()
     film = renderer.render_pass(film, data, static, settings, tables,
                                 camera, fis, jnp.int32(0), rays_per_pass,
                                 t0c, t1c)
-    jax.block_until_ready(film)
+    sync(film)
     compile_s = time.perf_counter() - t_compile
 
     done = rays_per_pass
@@ -83,7 +102,7 @@ def main():
         film = renderer.render_pass(film, data, static, settings, tables,
                                     camera, fis, jnp.int32(done),
                                     rays_per_pass, t0c, t1c)
-        jax.block_until_ready(film)
+        sync(film)
         done += rays_per_pass
         timed_rays += rays_per_pass
     elapsed = time.perf_counter() - t_start
@@ -93,11 +112,20 @@ def main():
         film = renderer.render_pass(film, data, static, settings, tables,
                                     camera, fis, jnp.int32(0),
                                     rays_per_pass, t0c, t1c)
-        jax.block_until_ready(film)
+        sync(film)
         elapsed = time.perf_counter() - t
         timed_rays = rays_per_pass
 
     msamples = timed_rays / elapsed / 1e6
+
+    # sanity: the film must actually contain every ray we claim to have
+    # timed (guards against async-dispatch measurement artifacts)
+    import numpy as _np
+    traced = float(_np.asarray(film.samples).sum())
+    expected = min(done, total)
+    if abs(traced - expected) > 0.5:
+        print(f"# WARNING: film samples {traced} != dispatched {expected}; "
+              f"timing suspect", file=sys.stderr)
 
     if args.save:
         resolved = film_mod.resolve(film, res)
@@ -105,8 +133,10 @@ def main():
                                ("color", "normal", "alpha"))
 
     print(json.dumps({
-        "metric": f"Msamples/sec/chip fractal {res[0]}x{res[1]} "
-                  f"{spp}spp 3-bounce GI+NEE+volume",
+        "metric": f"Msamples/sec/chip {args.config} {res[0]}x{res[1]} "
+                  f"{spp}spp 3-bounce GI+NEE"
+                  + ("+volume" if args.config in ("fractal", "animated")
+                     else ""),
         "value": round(msamples, 4),
         "unit": "Msamples/s",
         "vs_baseline": round(msamples / REFERENCE_CPU_MSAMPLES_PER_S, 2),

@@ -96,6 +96,12 @@ class RenderSettings:
     # overhead. 16 measured best for coherent primary rays on v5e.
     pallas_block_rows: int = 16
 
+    # Over-relaxation factor for sphere tracing (Keinert et al.): step by
+    # relax*DE with a conservative fallback on overshoot. 1.0 = the
+    # reference's plain marching (src/sdf.rs:59-83); ~1.4-1.6 cuts march
+    # step counts 25-40% with identical hits.
+    march_relaxation: float = 1.0
+
     # Compact the wavefront between bounces: a stable partition moves
     # dead lanes to the tail so Pallas march blocks are either
     # dense-alive or all-dead (which exit after one step). The TPU analog

@@ -91,7 +91,8 @@ def closest_hit(data: SceneData, static: SceneStatic,
             eps_abs=0.05 * detail * hps_abs,
             eps_lin=0.05 * detail * hps_lin,
             max_steps=settings.max_marches,
-            active=active)
+            active=active,
+            relax=settings.march_relaxation)
         closer = t_sdf < best_t
         best_t = jnp.where(closer, t_sdf, best_t)
         best_obj = jnp.where(closer, jnp.int32(static.n_spheres), best_obj)
@@ -124,7 +125,8 @@ def test_occluded(data: SceneData, static: SceneStatic,
         occ_sdf = occl_fn(
             prog, start, end, settings.sdf_detail_scale,
             settings.max_vis_marches,
-            active=active & jnp.logical_not(occluded))
+            active=active & jnp.logical_not(occluded),
+            relax=settings.march_relaxation)
         occluded = occluded | occ_sdf
     return jnp.where(occluded, 0.0, 1.0)
 

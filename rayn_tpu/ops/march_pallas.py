@@ -52,7 +52,7 @@ def _to_rows(a, rows):
     return a.reshape(rows, LANES)
 
 
-def _march_kernel(fn_c, treedef, n_leaves, max_steps, eps_const,
+def _march_kernel(fn_c, treedef, n_leaves, max_steps, eps_const, relax,
                   params_ref, ox, oy, oz, dx, dy, dz, tmax, eabs, elin,
                   act, out_t):
     prm = _unflatten_params(params_ref, treedef, n_leaves)
@@ -71,26 +71,53 @@ def _march_kernel(fn_c, treedef, n_leaves, max_steps, eps_const,
         thresh = jnp.maximum(eps_const, eps_abs + eps_lin * t)
         return (jnp.abs(dist) < thresh) | nan_mask | (t > t_max)
 
-    def cond(state):
-        step, _, all_done = state
-        return jnp.logical_and(step < max_steps,
-                               jnp.logical_not(all_done))
-
-    def body(state):
-        step, t, _ = state
-        dist = fn_c(prm, o_x + t * d_x, o_y + t * d_y, o_z + t * d_z)
-        done = done_of(t, dist)
-        t = jnp.where(done, t, t + dist)
-        return step + 1, t, jnp.all(done)
-
     init_done = jnp.all(jnp.logical_not(active) | nan_mask)
-    _, t, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), t0, init_done))
+
+    if relax == 1.0:
+        def cond(state):
+            step, _, all_done = state
+            return jnp.logical_and(step < max_steps,
+                                   jnp.logical_not(all_done))
+
+        def body(state):
+            step, t, _ = state
+            dist = fn_c(prm, o_x + t * d_x, o_y + t * d_y, o_z + t * d_z)
+            done = done_of(t, dist)
+            t = jnp.where(done, t, t + dist)
+            return step + 1, t, jnp.all(done)
+
+        _, t, _ = jax.lax.while_loop(cond, body,
+                                     (jnp.int32(0), t0, init_done))
+        out_t[:] = t
+        return
+
+    # over-relaxed variant (see rayn_tpu.ops.march.march)
+    def cond_r(state):
+        return jnp.logical_and(state[0] < max_steps,
+                               jnp.logical_not(state[4]))
+
+    def body_r(state):
+        step, t_prev, r_prev, t, _ = state
+        r = fn_c(prm, o_x + t * d_x, o_y + t * d_y, o_z + t * d_z)
+        overshoot = (t - t_prev) > (jnp.abs(r_prev) + jnp.abs(r))
+        done = done_of(t, r) & jnp.logical_not(overshoot)
+        t_cons = t_prev + r_prev
+        new_t_prev = jnp.where(done | overshoot, t_prev, t)
+        new_r_prev = jnp.where(done | overshoot, r_prev, r)
+        next_t = jnp.where(done, t,
+                           jnp.where(overshoot, t_cons, t + relax * r))
+        return (step + 1, new_t_prev, new_r_prev, next_t, jnp.all(done))
+
+    zeros = jnp.zeros_like(t0)
+    _, _, _, t, _ = jax.lax.while_loop(
+        cond_r, body_r, (jnp.int32(0), zeros, t0, t0, init_done))
     out_t[:] = t
 
 
 def march(prog: SdfProgram, origin, direction, t_max, eps_const: float,
           eps_abs, eps_lin, max_steps: int, active,
-          block_rows: int = DEFAULT_BLOCK_ROWS, interpret: bool = False):
+          block_rows: int = DEFAULT_BLOCK_ROWS, interpret: bool = False,
+          relax: float = 1.0):
     """Pallas twin of rayn_tpu.ops.march.march (same semantics, reference
     src/sdf.rs:59-83)."""
     n = origin.shape[0]
@@ -113,7 +140,7 @@ def march(prog: SdfProgram, origin, direction, t_max, eps_const: float,
     vspec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
     kernel = functools.partial(_march_kernel, prog.fn_c, treedef, n_leaves,
-                               max_steps, eps_const)
+                               max_steps, eps_const, relax)
     out = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -166,7 +193,8 @@ def _occl_kernel(fn_c, treedef, n_leaves, max_steps, eps_c, eps_l,
 def march_occlusion(prog: SdfProgram, start, end, detail_scale: float,
                     max_steps: int, active,
                     block_rows: int = DEFAULT_BLOCK_ROWS,
-                    interpret: bool = False):
+                    interpret: bool = False, relax: float = 1.0):
+    del relax  # shadow occlusion uses the jnp path for relaxation
     """Pallas twin of rayn_tpu.ops.march.march_occlusion (reference
     src/sdf.rs:25-57). Returns bool [N]."""
     n = start.shape[0]

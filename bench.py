@@ -47,6 +47,12 @@ def main():
                          "animated=#5 (motion-blurred camera)")
     args = ap.parse_args()
 
+    import os as _os
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      _os.environ.get("RAYN_JAX_CACHE",
+                                      "/tmp/rayn_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import jax
     import jax.numpy as jnp
 

@@ -59,6 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    import os as _os
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      _os.environ.get("RAYN_JAX_CACHE",
+                                      "/tmp/rayn_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     from rayn_tpu.config import RenderSettings
     from rayn_tpu.ops import filters as filter_ops
     from rayn_tpu.render import film as film_mod

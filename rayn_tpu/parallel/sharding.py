@@ -19,7 +19,6 @@ collectives on ICI.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import numpy as np

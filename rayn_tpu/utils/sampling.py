@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from rayn_tpu.utils import vecmath
 
 PI = float(jnp.pi)
 TWO_PI = 2.0 * PI

@@ -67,7 +67,7 @@ def main():
         res, spp, rays_per_pass, marches = (64, 64), 4, 1 << 13, 64
     else:
         res, spp, rays_per_pass, marches = \
-            (args.res, args.res), args.spp, 1 << 20, 256
+            (args.res, args.res), args.spp, 1 << 18, 256
 
     settings = RenderSettings(resolution=res, spp=spp,
                               max_marches=marches,

@@ -74,10 +74,13 @@ class RenderSettings:
     # Off by default (we mirror wo about n: `2(wo.n)n - wo`).
     compat_spec_reflect: bool = False
 
-    # Max rays traced per device pass; the frame is split into passes to
-    # bound HBM usage (the analog of reference's 16x16 tiles,
-    # src/main.rs:69, but sized for HBM rather than L2).
-    rays_per_pass: int = 1 << 21
+    # Max rays traced per device pass; the frame is split into passes
+    # (the analog of reference's 16x16 tiles, src/main.rs:69). Sized for
+    # the straggler bound, not HBM: every march while_loop runs until the
+    # slowest lane in the pass finishes, so smaller passes beat bigger
+    # ones (measured on v5e, fractal scene: 2^20 -> 0.57, 2^18 -> 0.79
+    # Msamples/s; knee at ~2^17-2^18).
+    rays_per_pass: int = 1 << 18
 
     # Use the Pallas VMEM-resident march kernel for primary/bounce
     # intersection on TPU backends (falls back to the jnp while_loop on

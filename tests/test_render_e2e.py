@@ -171,3 +171,26 @@ class TestMotionBlur:
                                   time_range=(0.0, 1.0)), (24, 16))
         # moving sphere smears alpha across more pixels than static
         assert (rm.alpha > 0.05).sum() > (rs.alpha > 0.05).sum() * 1.5
+
+
+class TestNoLights:
+    def test_scene_without_lights_renders(self):
+        # NEE and volume scattering must vanish cleanly when the scene has
+        # no lights (reference guards on lights.len() > 0,
+        # src/integrator.rs:73).
+        s = tiny_settings(resolution=(16, 12), spp=2)
+        b = SceneBuilder()
+        sky = b.add_sky((0.5, 0.6, 0.9), (0.1, 0.1, 0.1))
+        b.add_sphere((0, 0, 0), 50.0, sky)
+        lam = b.add_lambertian((0.7, 0.7, 0.7))
+        b.add_sphere((0, 0, 0), 1.0, lam)
+        b.set_volume(0.25, 0.035)
+        data, static = b.build()
+        cam = PinholeCamera.make((16, 12), 50.0, (0, 0, 4), (0, 0, 0),
+                                 (0, 1, 0))
+        res = film_mod.resolve(
+            renderer.render_frame(data, static, s, cam, 1), (16, 12))
+        assert np.isfinite(res.color).all()
+        assert res.alpha.mean() > 0.05
+        # sky still reaches bounce rays -> some indirect light
+        assert res.color.sum() > 0

@@ -53,7 +53,6 @@ def main():
                       _os.environ.get("RAYN_JAX_CACHE",
                                       "/tmp/rayn_jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    import jax
     import jax.numpy as jnp
 
     from rayn_tpu.config import RenderSettings

@@ -111,8 +111,8 @@ def main(argv=None) -> int:
                     data, static, settings, camera, frame=frame,
                     time_range=(t0, t0 + args.shutter), filter=filt,
                     checkpoint_path=args.checkpoint, progress=progress)
-            import jax
             jax.block_until_ready(film)
+            float(film.samples[-1])  # forced sync (see bench.py)
             secs = time.perf_counter() - start
             n_samples = res[0] * res[1] * args.spp
             print(f"\nFrame {frame}: done in {secs:.2f}s "

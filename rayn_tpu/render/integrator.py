@@ -161,10 +161,14 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
                 seg_trans = jnp.ones((n,), jnp.float32)
             contrib = (li * f * (seg_trans / pdf)[:, None]
                        * state.throughput * (correction * vol_trans)[..., None])
+            contrib = jnp.where(receives[:, None], contrib, 0.0)
+            # a zero contribution (light below horizon, black throughput)
+            # needs no visibility test
+            worth_it = receives & jnp.any(contrib != 0.0, axis=-1)
             shadow_starts.append(occ_origin)
             shadow_ends.append(end_point)
-            shadow_active.append(receives)
-            shadow_contrib.append(jnp.where(receives[:, None], contrib, 0.0))
+            shadow_active.append(worth_it)
+            shadow_contrib.append(contrib)
 
     if static.has_scattering and static.n_lights > 0:
         vm_correction = static.n_lights / s.nee_light_samples / s.volume_marches
@@ -195,10 +199,12 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
                 scale = (phase_f * seg_trans / (vol_pdf * light_pdf)
                          * vm_correction * data.volume_sigma_s * to_point_trans)
                 contrib = li * scale[:, None] * state.throughput
+                contrib = jnp.where(live[:, None], contrib, 0.0)
+                worth_it = live & jnp.any(contrib != 0.0, axis=-1)
                 shadow_starts.append(sampled_point)
                 shadow_ends.append(end_point)
-                shadow_active.append(live)
-                shadow_contrib.append(jnp.where(live[:, None], contrib, 0.0))
+                shadow_active.append(worth_it)
+                shadow_contrib.append(contrib)
 
     if shadow_starts:
         k = len(shadow_starts)

@@ -115,3 +115,39 @@ def equi_angular_sample(u, light_pos, ray_o, ray_d, max_distance):
     sample_dist = delta + t
     pdf = dl / ((theta_b - theta_a) * (dl * dl + t * t))
     return sample_dist, pdf
+
+
+def sphere_march_occluded(dist_fn, start, end, detail_scale, max_steps):
+    """Scalar shadow march (semantics of reference src/sdf.rs:25-57 /
+    rayn_tpu.ops.march.march_occlusion)."""
+    start = np.asarray(start, np.float64)
+    end = np.asarray(end, np.float64)
+    seg = end - start
+    max_dist = float(np.linalg.norm(seg))
+    d = seg / max_dist
+    dist = dist_fn(start)
+    if np.isnan(dist):
+        return False
+    hit = dist < 1e-4
+    t = dist
+    eps_c = 1e-4 * detail_scale
+    eps_l = 1e-5 * detail_scale
+    for _ in range(max_steps):
+        if t > max_dist:
+            return False
+        dist = dist_fn(start + t * d)
+        hit = abs(dist) < max(eps_c, eps_l * t)
+        if hit:
+            return t <= max_dist
+        t = t + dist
+    return bool(hit) and t <= max_dist
+
+
+def tetrahedral_normal(dist_fn, p, eps):
+    """Scalar 4-tap tetrahedral normal (rayn_tpu.ops.sdf)."""
+    ks = [np.array(k, np.float64) for k in
+          ((1, -1, -1), (-1, 1, -1), (-1, -1, 1), (1, 1, 1))]
+    n = np.zeros(3)
+    for k in ks:
+        n = n + k * dist_fn(np.asarray(p) + k * eps)
+    return n / np.linalg.norm(n)

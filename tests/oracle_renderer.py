@@ -7,9 +7,9 @@ the two must agree to float32 tolerance. The production code path is
 vectorized masked wavefronts; this one is plain per-sample Python — they
 share no implementation.
 
-Sphere-scene only (marching an SDF per scalar sample is impractically
-slow in Python; geometry parity for the SDF path is covered by the march
-oracle tests in test_geometry.py).
+Supports sphere scenes and (at tiny resolutions) the full MandelBox SDF
+path — primary marches, shadow marches, tetrahedral normals, SDF origin
+offsets — so the fractal pipeline is RMSE-gated end to end as well.
 """
 
 import numpy as np
@@ -84,9 +84,10 @@ def schlick(c, f0=0.04):
 
 
 class OracleScene:
-    """Mirror of presets.spheres_scene-style scenes: lists of dict specs."""
+    """Mirror of SceneData/SceneStatic: spheres, lights, materials, and
+    (optionally) the MandelBox SDF — all marched scalar-style."""
 
-    def __init__(self, data, static):
+    def __init__(self, data, static, settings=None, sdf_iters=12):
         self.centers = np.asarray(data.sphere_centers.values)[:, 0, :]
         self.radii = np.asarray(data.sphere_radii)
         self.mats = np.asarray(data.sphere_mats)
@@ -99,13 +100,39 @@ class OracleScene:
         self.lights_e = np.asarray(data.light_emission, np.float64)
         self.sigma_s = float(data.volume_sigma_s) if static.has_scattering else None
         self.sigma_t = float(data.volume_sigma_t) if static.has_extinction else None
+        self.has_sdf = static.has_sdf
+        if static.has_sdf:
+            prm = data.sdf_params
+            import numpy as _np
+            scale = float(prm.scale)
+            box_l = float(prm.box_l)
+            min_rad = float(_np.sqrt(float(prm.min_rad_sq)))
+            fixed_rad = float(_np.sqrt(float(prm.fixed_rad_sq)))
+            self.sdf_iters = sdf_iters
+            self.sdf_mat = static.sdf_mat
+            self.dist_fn = lambda p: oracle.mandelbox_dist(
+                p, iterations=self.sdf_iters, box_l=box_l,
+                min_rad=min_rad, fixed_rad=fixed_rad, scale=scale)
+        self.detail = settings.sdf_detail_scale if settings else 0.5
+        self.max_marches = settings.max_marches if settings else 256
+        self.max_vis = settings.max_vis_marches if settings else 100
 
-    def closest_hit(self, o, d, t_max):
+    def sdf_obj_id(self):
+        return len(self.radii)
+
+    def closest_hit(self, o, d, t_max, hps_abs=0.0, hps_lin=0.0):
         best, idx = t_max, -1
         for k in range(len(self.radii)):
             t = oracle.sphere_hit(o, d, self.centers[k], self.radii[k], best)
             if t is not None and t < best:
                 best, idx = t, k
+        if self.has_sdf:
+            t = oracle.sphere_march(
+                self.dist_fn, o, d, best, 5e-5 * self.detail,
+                0.05 * self.detail * hps_abs, 0.05 * self.detail * hps_lin,
+                self.max_marches)
+            if not np.isnan(t) and t < best:
+                best, idx = t, self.sdf_obj_id()
         return best, idx
 
     def occluded(self, a, b):
@@ -123,16 +150,19 @@ class OracleScene:
             t1, t2 = -bq - sq, -bq + sq
             if min(t1, t2) > 1e-3 and t1 <= dist:
                 return True
+        if self.has_sdf and oracle.sphere_march_occluded(
+                self.dist_fn, a, b, self.detail, self.max_vis):
+            return True
         return False
 
 
 def render_oracle(data, static, settings, camera, frame, time_range,
-                  fis_table):
+                  fis_table, sdf_iters=12):
     """Returns dict of [H, W(,3)] mean images matching film.resolve."""
     from rayn_tpu.utils import rng as rng_mod
 
     w, h = settings.resolution
-    scene = OracleScene(data, static)
+    scene = OracleScene(data, static, settings, sdf_iters)
     sampler = OracleSampler(settings, frame, w * h)
 
     # static pinhole camera parameters
@@ -146,6 +176,7 @@ def render_oracle(data, static, settings, camera, frame, time_range,
     uu /= np.linalg.norm(uu)
     vv = np.cross(ww, uu)
     lower_left = org0 - uu * half_w - vv * half_h - ww
+    hps_lin = float(camera.hps)
 
     fis = np.asarray(fis_table, np.float64)
 
@@ -181,13 +212,23 @@ def render_oracle(data, static, settings, camera, frame, time_range,
                 radiance = np.zeros(3)
                 tp = np.ones(3)
                 for depth in range(s.max_bounces + 1):
-                    t, obj = scene.closest_hit(o, d, 2.0 * s.world_radius)
+                    hl = hps_lin if depth == 0 else 2e-4 * depth
+                    t, obj = scene.closest_hit(o, d, 2.0 * s.world_radius,
+                                               0.0, hl)
                     if obj < 0:
                         break
                     p = o + t * d
-                    n = (p - scene.centers[obj])
-                    n /= np.linalg.norm(n)
-                    mat = scene.mats[obj]
+                    if scene.has_sdf and obj == scene.sdf_obj_id():
+                        hl = hps_lin if depth == 0 else 2e-4 * depth
+                        eps = max(1e-4, scene.detail * hl * t)
+                        n = oracle.tetrahedral_normal(scene.dist_fn, p, eps)
+                        offset_by = eps
+                        mat = scene.sdf_mat
+                    else:
+                        n = (p - scene.centers[obj])
+                        n /= np.linalg.norm(n)
+                        offset_by = 0.0
+                        mat = scene.mats[obj]
                     kind = scene.kind[mat]
                     wo = -d
                     vol_trans = (np.exp(-scene.sigma_t * t)
@@ -221,7 +262,8 @@ def render_oracle(data, static, settings, camera, frame, time_range,
                             dist = np.linalg.norm(wi_full)
                             wi = wi_full / dist
                             ndl = max(0.0, float(np.dot(n, wi)))
-                            occ_o = p  # sphere offset_by = 0
+                            occ_o = p + n * (np.sign(np.dot(n, wi))
+                                             * offset_by)
                             if scene.occluded(occ_o, lp_pt):
                                 continue
                             # bsdf f
@@ -335,7 +377,7 @@ def render_oracle(data, static, settings, camera, frame, time_range,
                         break
                     if not np.any(np.isnan(new_tp)):
                         tp = new_tp
-                    o = p  # sphere offset_by = 0
+                    o = p + n * (np.sign(np.dot(n, wi)) * offset_by)
                     d = wi
 
     spp = float(s.spp)

@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--tiny", action="store_true",
                     help="small shapes for a quick live check")
     ap.add_argument("--res", type=int, default=512)
+    ap.add_argument("--height", type=int, default=None,
+                    help="image height (default: square --res)")
     ap.add_argument("--spp", type=int, default=128)
     ap.add_argument("--max-seconds", type=float, default=60.0)
     ap.add_argument("--save", type=str, default=None,
@@ -66,7 +68,7 @@ def main():
         res, spp, rays_per_pass, marches = (64, 64), 4, 1 << 13, 64
     else:
         res, spp, rays_per_pass, marches = \
-            (args.res, args.res), args.spp, 1 << 18, 256
+            (args.res, args.height or args.res), args.spp, 1 << 18, 256
 
     settings = RenderSettings(resolution=res, spp=spp,
                               max_marches=marches,
@@ -100,6 +102,10 @@ def main():
     sync(film)
     compile_s = time.perf_counter() - t_compile
 
+    # Per-pass sync: besides making the timing trustworthy, letting
+    # passes queue up asynchronously is ~5x SLOWER under the axon
+    # runtime (measured 1.77 s vs 0.35 s per 2^18-ray pass with a
+    # ~90-deep queue), so this is also the fast path.
     done = rays_per_pass
     timed_rays = 0
     t_start = time.perf_counter()

@@ -140,6 +140,10 @@ def render_frame(data: SceneData, static: SceneStatic,
         film = render_pass(film, data, static, settings, tables, camera,
                            fis_table, jnp.int32(p * pass_size), pass_size,
                            t0, t1)
+        # Synchronize every pass: a scalar readback costs ~1 ms, while
+        # letting donated-film passes queue up asynchronously measured
+        # ~5x slower per pass under deep queues (axon runtime).
+        float(film.samples[-1])
         if progress is not None:
             progress(min((p + 1) * pass_size, total), total)
         if checkpoint_path and ((p + 1) % checkpoint_every == 0

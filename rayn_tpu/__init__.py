@@ -26,3 +26,23 @@ Feature parity targets (reference README.md:5-15):
 __version__ = "0.1.0"
 
 from rayn_tpu.config import RenderSettings  # noqa: F401
+
+
+def __getattr__(name):
+    # Lazy convenience re-exports (keep `import rayn_tpu` cheap).
+    if name in ("render_frame", "render_pass"):
+        from rayn_tpu.render import renderer
+        return getattr(renderer, name)
+    if name in ("resolve", "save_channels", "new_film"):
+        from rayn_tpu.render import film
+        return getattr(film, name)
+    if name in ("default_scene", "spheres_scene"):
+        from rayn_tpu.scene import presets
+        return getattr(presets, name)
+    if name == "SceneBuilder":
+        from rayn_tpu.scene.scene import SceneBuilder
+        return SceneBuilder
+    if name == "render_frame_sharded":
+        from rayn_tpu.parallel.sharding import render_frame_sharded
+        return render_frame_sharded
+    raise AttributeError(name)

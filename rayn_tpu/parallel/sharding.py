@@ -113,4 +113,6 @@ def render_frame_sharded(data, static, settings: RenderSettings, camera,
     for p in range(n_passes):
         film = step(film, data, tables, camera, fis_table,
                     jnp.int32(p * pass_size), t0, t1)
+        # per-pass scalar sync; see rayn_tpu.render.renderer.render_frame
+        float(film.samples[-1])
     return film

@@ -4,11 +4,18 @@ sharding paths (shard_map/psum film merge) are exercised without a TPU pod
 
 import os
 
-# Force CPU: the ambient environment sets JAX_PLATFORMS=axon (a tunnel to
-# one real TPU chip), which is wrong for unit tests — slow per-op dispatch
-# and no multi-device simulation.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# The ambient environment sets JAX_PLATFORMS=axon (a tunnel to one real
+# TPU chip) and a sitecustomize that imports jax at interpreter startup —
+# so setting env vars here is NOT enough; the jax.config.update below is
+# what actually forces CPU after that import.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()
+assert len(jax.devices()) == 8, jax.devices()

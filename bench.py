@@ -42,6 +42,7 @@ def main():
                     help="optionally save the benchmark render to PNGs")
     ap.add_argument("--relax", type=float, default=1.0,
                     help="sphere-trace over-relaxation factor")
+    ap.add_argument("--rays-per-pass", type=int, default=1 << 20)
     ap.add_argument("--config", default="fractal",
                     choices=("fractal", "spheres", "no-volume", "animated"),
                     help="BASELINE.json benchmark config: fractal=#1/#3, "
@@ -68,7 +69,8 @@ def main():
         res, spp, rays_per_pass, marches = (64, 64), 4, 1 << 13, 64
     else:
         res, spp, rays_per_pass, marches = \
-            (args.res, args.height or args.res), args.spp, 1 << 18, 256
+            (args.res, args.height or args.res), args.spp, \
+            args.rays_per_pass, 256
 
     settings = RenderSettings(resolution=res, spp=spp,
                               max_marches=marches,

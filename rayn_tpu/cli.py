@@ -46,7 +46,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--transparent-background", action="store_true")
     p.add_argument("--checkpoint", default=None,
                    help="checkpoint file for preemptible rendering")
-    p.add_argument("--rays-per-pass", type=int, default=1 << 18)
+    p.add_argument("--rays-per-pass", type=int, default=1 << 20)
     p.add_argument("--max-marches", type=int, default=256)
     p.add_argument("--no-pallas", action="store_true")
     p.add_argument("--trace-dir", default=None,

@@ -74,13 +74,13 @@ class RenderSettings:
     # Off by default (we mirror wo about n: `2(wo.n)n - wo`).
     compat_spec_reflect: bool = False
 
-    # Max rays traced per device pass; the frame is split into passes
-    # (the analog of reference's 16x16 tiles, src/main.rs:69). Sized for
-    # the straggler bound, not HBM: every march while_loop runs until the
-    # slowest lane in the pass finishes, so smaller passes beat bigger
-    # ones (measured on v5e, fractal scene: 2^20 -> 0.57, 2^18 -> 0.79
-    # Msamples/s; knee at ~2^17-2^18).
-    rays_per_pass: int = 1 << 18
+    # Max rays traced per device pass (the analog of reference's 16x16
+    # tiles, src/main.rs:69). With the Pallas march kernels' block-local
+    # early exit, bigger passes amortize dispatch (measured on v5e,
+    # fractal: 2^18 -> 1.00, 2^19 -> 1.06, 2^20 -> 1.08 Msamples/s); with
+    # use_pallas off, the jnp while_loops are bounded by the slowest lane
+    # per pass and ~2^18 is better.
+    rays_per_pass: int = 1 << 20
 
     # Use the Pallas VMEM-resident march kernel for primary/bounce
     # intersection on TPU backends (falls back to the jnp while_loop on
@@ -88,16 +88,22 @@ class RenderSettings:
     # Measured on v5e: pallas 29 ms vs jnp 40 ms per 1M coherent rays.
     use_pallas: bool = True
 
-    # Pallas for the *shadow* occlusion march. Off by default: shadow
-    # segments aim at per-lane random lights, so blocks rarely exit early
-    # and the sequential Pallas grid loses to one wide XLA while_loop
-    # (measured 212 ms vs 91 ms per 4M shadow rays on v5e).
-    use_pallas_occlusion: bool = False
+    # Pallas for the *shadow* occlusion march. At small blocks the
+    # sequential Pallas grid loses to one wide XLA while_loop, but at
+    # 64-128 rows per block it wins ~20-25% (measured 20.6 ms pallas
+    # vs 25.2 ms jnp per 1M realistic NEE segments on v5e, bit-identical
+    # results).
+    use_pallas_occlusion: bool = True
+
+    # Rows per occlusion-march block (optimum 64-128 on v5e; coarser
+    # blocks amortize grid overhead, shadow rays rarely exit early).
+    pallas_occl_block_rows: int = 64
 
     # Rays per Pallas march block (block_rows * 128; min 8 rows). Smaller
     # blocks give finer-grained early exit; larger blocks amortize grid
-    # overhead. 16 measured best for coherent primary rays on v5e.
-    pallas_block_rows: int = 16
+    # overhead. 64 measured best for the primary march on v5e
+    # (10.6 ms vs 13.0 at 16 vs 15.6 jnp per 2^18 camera rays).
+    pallas_block_rows: int = 64
 
     # Over-relaxation factor for sphere tracing (Keinert et al.): step by
     # relax*DE with a conservative fallback on overshoot. 1.0 = the

@@ -119,7 +119,7 @@ def test_occluded(data: SceneData, static: SceneStatic,
             import functools
             occl_fn = functools.partial(
                 march_pallas.march_occlusion,
-                block_rows=settings.pallas_block_rows)
+                block_rows=settings.pallas_occl_block_rows)
         else:
             occl_fn = march_ops.march_occlusion
         occ_sdf = occl_fn(

@@ -43,6 +43,8 @@ def main():
     ap.add_argument("--relax", type=float, default=1.0,
                     help="sphere-trace over-relaxation factor")
     ap.add_argument("--rays-per-pass", type=int, default=1 << 20)
+    ap.add_argument("--compact", action="store_true",
+                    help="compact the wavefront between bounces")
     ap.add_argument("--config", default="fractal",
                     choices=("fractal", "spheres", "no-volume", "animated"),
                     help="BASELINE.json benchmark config: fractal=#1/#3, "
@@ -75,7 +77,8 @@ def main():
     settings = RenderSettings(resolution=res, spp=spp,
                               max_marches=marches,
                               rays_per_pass=rays_per_pass,
-                              march_relaxation=args.relax)
+                              march_relaxation=args.relax,
+                              compact_bounces=args.compact)
     if args.config == "spheres":
         data, static, camera = presets.spheres_scene(resolution=res)
     else:

@@ -23,10 +23,12 @@ import sys
 import time
 
 # Reference-equivalent CPU throughput in Msamples/s used for vs_baseline.
-# Provenance: see BASELINE.md "Measured baselines". Estimate until the
-# native baseline binary lands: rayn's default workload is ~1.5-2 Mrays/s
-# on an 8-core AVX2 CPU; this container exposes 1 vCPU -> ~0.25 Msamples/s.
-REFERENCE_CPU_MSAMPLES_PER_S = 0.25
+# Provenance: MEASURED on this host (1 vCPU container) with
+# cpp/baseline/rayn_baseline.cpp on the fractal config, 512x512 @ 8 spp:
+# 0.0399 Msamples/s (BASELINE.md "Measured baselines", round 1). So
+# vs_baseline = speedup of one TPU chip over one CPU core running the
+# reference workload.
+REFERENCE_CPU_MSAMPLES_PER_S = 0.0399
 
 
 def main():
@@ -158,7 +160,9 @@ def main():
         "vs_baseline": round(msamples / REFERENCE_CPU_MSAMPLES_PER_S, 2),
     }))
     print(f"# device={jax.devices()[0].device_kind} compile={compile_s:.1f}s "
-          f"timed_rays={timed_rays} elapsed={elapsed:.2f}s",
+          f"timed_rays={timed_rays} elapsed={elapsed:.2f}s "
+          f"baseline={REFERENCE_CPU_MSAMPLES_PER_S} Msamples/s "
+          f"(cpp/baseline, 1 vCPU this host, BASELINE.md)",
           file=sys.stderr)
 
 

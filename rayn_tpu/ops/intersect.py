@@ -31,8 +31,14 @@ from rayn_tpu.utils import vecmath
 
 
 def _pallas_ok(settings: RenderSettings, prog) -> bool:
-    return (settings.use_pallas and prog.fn_c is not None
-            and jax.default_backend() not in ("cpu",))
+    if not (settings.use_pallas and prog.fn_c is not None
+            and jax.default_backend() not in ("cpu",)):
+        return False
+    # The kernels carry SDF parameters as a flat SMEM vector of scalars;
+    # any non-scalar parameter leaf must take the jnp path.
+    return all(
+        getattr(jnp.asarray(leaf), "shape", ()) == ()
+        for leaf in jax.tree.leaves(prog.params))
 
 
 class Hit(NamedTuple):
@@ -115,7 +121,12 @@ def test_occluded(data: SceneData, static: SceneStatic,
         occluded = occluded | jnp.any(occ, axis=1)
     if static.has_sdf:
         prog = static.sdf_program(data)
-        if settings.use_pallas_occlusion and _pallas_ok(settings, prog):
+        # The Pallas occlusion kernel implements only the plain march;
+        # with over-relaxation requested, take the jnp path so the
+        # setting is honored rather than silently dropped.
+        if (settings.use_pallas_occlusion
+                and settings.march_relaxation == 1.0
+                and _pallas_ok(settings, prog)):
             import functools
             occl_fn = functools.partial(
                 march_pallas.march_occlusion,

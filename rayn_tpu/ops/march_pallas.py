@@ -36,6 +36,13 @@ def _flatten_params(params):
     leaves, treedef = jax.tree.flatten(params)
     if not leaves:
         return jnp.zeros((1, 1), jnp.float32), treedef, 0
+    for leaf in leaves:
+        if jnp.asarray(leaf).shape != ():
+            raise ValueError(
+                "Pallas march kernels carry SDF parameters in SMEM as a "
+                f"flat vector of scalars; got a leaf of shape "
+                f"{jnp.asarray(leaf).shape}. Use the jnp march path "
+                "(intersect._pallas_ok already routes this).")
     flat = jnp.stack([jnp.asarray(l, jnp.float32).reshape(()) for l in leaves])
     return flat.reshape(1, -1), treedef, len(leaves)
 
@@ -194,9 +201,13 @@ def march_occlusion(prog: SdfProgram, start, end, detail_scale: float,
                     max_steps: int, active,
                     block_rows: int = DEFAULT_BLOCK_ROWS,
                     interpret: bool = False, relax: float = 1.0):
-    del relax  # shadow occlusion uses the jnp path for relaxation
     """Pallas twin of rayn_tpu.ops.march.march_occlusion (reference
-    src/sdf.rs:25-57). Returns bool [N]."""
+    src/sdf.rs:25-57). Returns bool [N]. Plain march only: callers
+    (intersect.test_occluded) route relax != 1.0 to the jnp path."""
+    if relax != 1.0:
+        raise NotImplementedError(
+            "Pallas occlusion kernel does not implement over-relaxation; "
+            "use rayn_tpu.ops.march.march_occlusion for relax != 1.0")
     n = start.shape[0]
     block_rows = max(block_rows, 8)  # Mosaic minimum (8, 128) tiles
     block = block_rows * LANES

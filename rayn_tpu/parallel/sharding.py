@@ -7,8 +7,9 @@ The TPU design shards the flat (pixel, sample) ray-index space across a
 wavefront against the (replicated, small) scene and accumulates a local
 film; a `psum` over the mesh's ICI replaces the mutex merge. Because the
 samplers are counter-based / table+hash (rayn_tpu.utils.rng), any shard
-of rays can be computed on any chip with bit-identical results — shard
-count cannot change the image (tested in tests/test_sharding.py).
+of rays can be computed on any chip with bit-identical per-ray results
+— shard count changes the image only through f32 film-reduction order
+(tested to atol 2e-5 in tests/test_sharding.py).
 
 Mesh layout: a 2D ("tile", "spp") mesh is exposed so frames can also be
 dealt out pixel-major and sample-major independently; for film

@@ -131,7 +131,9 @@ def render_frame(data: SceneData, static: SceneStatic,
     start_pass = 0
     if checkpoint_path:
         from rayn_tpu.render import checkpoint as ckpt
-        resumed = ckpt.load(checkpoint_path, settings, frame)
+        resumed = ckpt.load(checkpoint_path, settings, frame, scene=data,
+                            camera=camera, fis_table=fis_table,
+                            time_range=time_range)
         if resumed is not None:
             film, start_pass = resumed
     t0 = jnp.float32(time_range[0])
@@ -149,5 +151,7 @@ def render_frame(data: SceneData, static: SceneStatic,
         if checkpoint_path and ((p + 1) % checkpoint_every == 0
                                 or p + 1 == n_passes):
             from rayn_tpu.render import checkpoint as ckpt
-            ckpt.save(checkpoint_path, film, settings, frame, p + 1)
+            ckpt.save(checkpoint_path, film, settings, frame, p + 1,
+                      scene=data, camera=camera, fis_table=fis_table,
+                      time_range=time_range)
     return film

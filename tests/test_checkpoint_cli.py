@@ -35,6 +35,27 @@ class TestCheckpoint:
         s2 = RenderSettings(resolution=(16, 12), spp=8)
         assert checkpoint.load(path, s2, frame=1) is None
 
+    def test_scene_or_camera_mismatch_refused(self, tmp_path):
+        """A checkpoint written for scene A must not resume into a
+        render of scene B (or another camera/shutter) — the blend would
+        silently corrupt the image (ADVICE.md round 1, medium)."""
+        s = small()
+        data_a, _, cam_a = presets.spheres_scene(resolution=s.resolution)
+        data_b, _, cam_b = presets.default_scene(resolution=s.resolution)
+        f = film_mod.new_film(16 * 12)
+        path = str(tmp_path / "ck.npz")
+        checkpoint.save(path, f, s, frame=1, next_pass=2, scene=data_a,
+                        camera=cam_a, time_range=(0.0, 1.0 / 24.0))
+        ok = checkpoint.load(path, s, frame=1, scene=data_a, camera=cam_a,
+                             time_range=(0.0, 1.0 / 24.0))
+        assert ok is not None
+        assert checkpoint.load(path, s, frame=1, scene=data_b, camera=cam_a,
+                               time_range=(0.0, 1.0 / 24.0)) is None
+        assert checkpoint.load(path, s, frame=1, scene=data_a, camera=cam_b,
+                               time_range=(0.0, 1.0 / 24.0)) is None
+        assert checkpoint.load(path, s, frame=1, scene=data_a, camera=cam_a,
+                               time_range=(0.0, 2.0 / 24.0)) is None
+
     def test_resume_produces_identical_film(self, tmp_path):
         s = small()
         data, static, cam = presets.spheres_scene(resolution=s.resolution)

@@ -31,10 +31,67 @@ import time
 REFERENCE_CPU_MSAMPLES_PER_S = 0.0399
 
 
+def selftest() -> str:
+    """Real-device Pallas-vs-jnp equivalence smoke: march and occlusion
+    on one small batch must agree bit-for-bit between the Pallas kernels
+    and the jnp while_loop twins (CI only exercises interpret mode on
+    CPU; this closes the real-Mosaic gap each bench run)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rayn_tpu.ops import march as march_ops
+    from rayn_tpu.ops import march_pallas, sdf as sdf_ops
+
+    prog = sdf_ops.mandelbox(iterations=12, box_fold_l=1.0,
+                             sphere_min_rad=0.01, sphere_fixed_rad=1.9,
+                             scale=-2.1)
+    n = 2048
+    k = jax.random.split(jax.random.PRNGKey(7), 3)
+    origin = jax.random.uniform(k[0], (n, 3), minval=-3.0, maxval=3.0)
+    direction = jax.random.normal(k[1], (n, 3))
+    direction = direction / jnp.linalg.norm(direction, axis=-1,
+                                            keepdims=True)
+    t_max = jnp.full((n,), 200.0)
+    eps_abs = jnp.zeros((n,))
+    eps_lin = jnp.full((n,), 2e-4)
+    active = jnp.arange(n) % 7 != 0
+
+    args = dict(eps_const=2.5e-5, eps_abs=eps_abs, eps_lin=eps_lin,
+                max_steps=64, active=active)
+    t_ref = np.asarray(march_ops.march(prog, origin, direction, t_max,
+                                       **args))
+    t_pal = np.asarray(march_pallas.march(prog, origin, direction, t_max,
+                                          **args))
+    march_ok = np.array_equal(t_ref, t_pal)
+
+    end = origin + direction * 0.5
+    o_ref = np.asarray(march_ops.march_occlusion(
+        prog, origin, end, 0.5, 32, active=active))
+    o_pal = np.asarray(march_pallas.march_occlusion(
+        prog, origin, end, 0.5, 32, active=active))
+    occl_ok = np.array_equal(o_ref, o_pal)
+    o_ref_r = np.asarray(march_ops.march_occlusion(
+        prog, origin, end, 0.5, 32, active=active, relax=1.5))
+    o_pal_r = np.asarray(march_pallas.march_occlusion(
+        prog, origin, end, 0.5, 32, active=active, relax=1.5))
+    occl_ok = occl_ok and np.array_equal(o_ref_r, o_pal_r)
+
+    if not (march_ok and occl_ok):
+        bad = np.flatnonzero(t_ref != t_pal)[:5]
+        raise AssertionError(
+            f"pallas selftest FAILED march_ok={march_ok} occl_ok={occl_ok} "
+            f"first diffs at {bad}: jnp={t_ref[bad]} pallas={t_pal[bad]}")
+    return ("selftest: pallas==jnp bit-equal "
+            f"(march {n} rays, occlusion {n} segments)")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true",
                     help="small shapes for a quick live check")
+    ap.add_argument("--selftest", action="store_true",
+                    help="assert pallas==jnp bit-equality on the live "
+                         "device before timing")
     ap.add_argument("--res", type=int, default=512)
     ap.add_argument("--height", type=int, default=None,
                     help="image height (default: square --res)")
@@ -68,6 +125,9 @@ def main():
     from rayn_tpu.render import renderer
     from rayn_tpu.scene import presets
     from rayn_tpu.utils import rng
+
+    if args.selftest:
+        print(f"# {selftest()}", file=sys.stderr)
 
     if args.tiny:
         res, spp, rays_per_pass, marches = (64, 64), 4, 1 << 13, 64

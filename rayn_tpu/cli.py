@@ -53,6 +53,32 @@ def build_parser() -> argparse.ArgumentParser:
                    help="capture a jax.profiler device trace here")
     p.add_argument("--multichip", action="store_true",
                    help="shard the render over all visible devices")
+    p.add_argument("--multichip-mode", choices=("auto", "rays", "frames"),
+                   default="auto",
+                   help="with --multichip: 'rays' shards each frame's "
+                        "wavefront across chips; 'frames' deals whole "
+                        "frames out one-per-chip (BASELINE config #5); "
+                        "'auto' picks frames when rendering 2+ frames")
+    p.add_argument("--mis", action="store_true",
+                   help="MIS-weight paired light/emissive emitters "
+                        "(removes the reference's co-located double "
+                        "count; default off = reference-faithful)")
+    p.add_argument("--relax", type=float, default=1.0,
+                   help="sphere-trace over-relaxation factor")
+    # --- camera (reference offers these in code, src/camera.rs:120-285) ---
+    p.add_argument("--camera", choices=("pinhole", "thinlens", "ortho"),
+                   default="pinhole")
+    p.add_argument("--fov", type=float, default=60.0,
+                   help="vertical field of view in degrees (pinhole/"
+                        "thinlens; reference default 60)")
+    p.add_argument("--aperture", type=float, default=0.05,
+                   help="thin-lens aperture radius (depth of field)")
+    p.add_argument("--focus", type=float, nargs=3, default=None,
+                   metavar=("X", "Y", "Z"),
+                   help="thin-lens focus point (default: the look-at "
+                        "point)")
+    p.add_argument("--ortho-height", type=float, default=4.0,
+                   help="orthographic view height in world units")
     return p
 
 
@@ -77,7 +103,8 @@ def main(argv=None) -> int:
         resolution=res, spp=args.spp, max_bounces=args.bounces,
         volume_marches=args.volume_marches, sampler=args.sampler,
         rays_per_pass=args.rays_per_pass, max_marches=args.max_marches,
-        use_pallas=not args.no_pallas)
+        use_pallas=not args.no_pallas, mis=args.mis,
+        march_relaxation=args.relax)
 
     if args.scene == "fractal":
         data, static, camera = presets.default_scene(
@@ -85,6 +112,25 @@ def main(argv=None) -> int:
             animated=args.animated)
     else:
         data, static, camera = presets.spheres_scene(resolution=res)
+
+    if args.camera != "pinhole":
+        # Rebuild the camera kind around the preset's (possibly
+        # animated) origin/look-at/up channels.
+        from rayn_tpu.render.camera import (OrthographicCamera,
+                                            ThinLensCamera)
+        if args.camera == "thinlens":
+            focus = tuple(args.focus) if args.focus else camera.at
+            camera = ThinLensCamera.make(
+                res, args.fov, args.aperture, camera.origin, camera.at,
+                camera.up, focus)
+        else:
+            camera = OrthographicCamera.make(
+                res, args.ortho_height, camera.origin, camera.at,
+                camera.up)
+    elif args.fov != 60.0:
+        from rayn_tpu.render.camera import PinholeCamera
+        camera = PinholeCamera.make(res, args.fov, camera.origin,
+                                    camera.at, camera.up)
 
     filt = filter_ops.FILTERS[args.filter](args.filter_radius)
 
@@ -97,8 +143,38 @@ def main(argv=None) -> int:
     trace_cm = (device_trace(args.trace_dir) if args.trace_dir
                 else contextlib.nullcontext())
 
+    frame_list = list(range(args.frames[0], args.frames[1]))
+    use_frame_chips = args.multichip and (
+        args.multichip_mode == "frames"
+        or (args.multichip_mode == "auto" and len(frame_list) >= 2))
+
+    def save_frame(frame, film, secs):
+        n_samples = res[0] * res[1] * args.spp
+        print(f"\nFrame {frame}: done in {secs:.2f}s "
+              f"({n_samples / secs / 1e6:.3f} Msamples/s)",
+              file=sys.stderr)
+        resolved = film_mod.resolve(film, res)
+        paths = film_mod.save_channels(
+            resolved, args.out, f"frame{frame:04d}_{args.spp}spp",
+            args.channels,
+            transparent_background=args.transparent_background)
+        for p in paths:
+            print(f"Saved {p}", file=sys.stderr)
+
+    if use_frame_chips:
+        from rayn_tpu.parallel import sharding
+        with trace_cm:
+            start = time.perf_counter()
+            films = sharding.render_frames_per_chip(
+                data, static, settings, camera, frame_list, filter=filt,
+                frame_rate=args.frame_rate, shutter_speed=args.shutter)
+            secs = time.perf_counter() - start
+            for frame, film in zip(frame_list, films):
+                save_frame(frame, film, secs / len(frame_list))
+        return 0
+
     with trace_cm:
-        for frame in range(args.frames[0], args.frames[1]):
+        for frame in frame_list:
             start = time.perf_counter()
             t0 = frame / args.frame_rate
             if args.multichip:
@@ -113,19 +189,7 @@ def main(argv=None) -> int:
                     checkpoint_path=args.checkpoint, progress=progress)
             jax.block_until_ready(film)
             float(film.samples[-1])  # forced sync (see bench.py)
-            secs = time.perf_counter() - start
-            n_samples = res[0] * res[1] * args.spp
-            print(f"\nFrame {frame}: done in {secs:.2f}s "
-                  f"({n_samples / secs / 1e6:.3f} Msamples/s)",
-                  file=sys.stderr)
-
-            resolved = film_mod.resolve(film, res)
-            paths = film_mod.save_channels(
-                resolved, args.out, f"frame{frame:04d}_{args.spp}spp",
-                args.channels,
-                transparent_background=args.transparent_background)
-            for p in paths:
-                print(f"Saved {p}", file=sys.stderr)
+            save_frame(frame, film, time.perf_counter() - start)
     return 0
 
 

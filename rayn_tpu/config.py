@@ -59,6 +59,19 @@ class RenderSettings:
     # "hash" = counter-based PCG hash streams (fully shardable, no table).
     sampler: str = "rd"
 
+    # Multiple importance sampling between NEE and BSDF sampling for
+    # emitters that are *paired* (a sphere light co-located with an
+    # emissive sphere, auto-detected at scene build or paired explicitly
+    # via SceneBuilder.pair_light). The reference leaves power_heuristic
+    # dead (src/math.rs:193-199) and double-counts co-located
+    # light/emissive pairs by construction (src/setup.rs:107-122);
+    # default False stays reference-faithful. With True, NEE
+    # contributions from paired lights and BSDF-hit emission of paired
+    # emissive spheres are power-heuristic weighted so each paired
+    # emitter is counted once (exactly unbiased when the pair's two
+    # emission values agree; see docs/PARITY.md).
+    mis: bool = False
+
     # --- compat quirks -----------------------------------------------------
     # The reference samples the specular (Phong) lobe azimuth as
     # `phi = 2*u` radians instead of `2*pi*u` (reference src/math.rs:111),

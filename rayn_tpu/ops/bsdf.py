@@ -101,6 +101,35 @@ def eval_f(p: MatParams, wo: jnp.ndarray, wi: jnp.ndarray,
     return f
 
 
+def eval_pdf(p: MatParams, settings: RenderSettings, wo: jnp.ndarray,
+             wi: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+    """pdf (w.r.t. solid angle) that `scatter` would have sampled
+    direction wi — the BSDF-strategy density needed for MIS weights.
+    Matches scatter()'s sampling exactly: Lambert cosine pdf, Dielectric
+    Fresnel-mixed cosine/Phong, Metallic Phong-only. Refractive gets no
+    NEE (eval_f = 0) so its pdf is never used; returns 0."""
+    cos_i = jnp.maximum(0.0, vecmath.dot(wi, n))
+    lambert_pdf = cos_i / sampling.PI
+    diffuse_pdf = jnp.maximum(1e-5, lambert_pdf)  # src/material.rs:223
+
+    if settings.compat_spec_reflect:
+        reflection = vecmath.reflect_glsl(wo, n)
+    else:
+        reflection = vecmath.reflect(wo, n)
+    cos_alpha = jnp.maximum(0.0, vecmath.dot(reflection, wi))
+    cos_alpha_pow = jnp.maximum(cos_alpha ** p.power, F32_EPS)
+    spec_pdf = (p.power + 1.0) / sampling.TWO_PI * cos_alpha_pow
+
+    cos = jnp.abs(vecmath.dot(n, wo))
+    fresnel = sampling.f_schlick(cos, F0)
+    diel_pdf = fresnel * spec_pdf + (1.0 - fresnel) * diffuse_pdf
+
+    pdf = jnp.where(p.kind == LAMBERT, lambert_pdf, 0.0)
+    pdf = jnp.where(p.kind == DIELECTRIC, diel_pdf, pdf)
+    pdf = jnp.where(p.kind == METALLIC, spec_pdf, pdf)
+    return pdf
+
+
 class ScatterEvent(NamedTuple):
     wi: jnp.ndarray   # [N, 3]
     f: jnp.ndarray    # [N, 3]

@@ -121,12 +121,7 @@ def test_occluded(data: SceneData, static: SceneStatic,
         occluded = occluded | jnp.any(occ, axis=1)
     if static.has_sdf:
         prog = static.sdf_program(data)
-        # The Pallas occlusion kernel implements only the plain march;
-        # with over-relaxation requested, take the jnp path so the
-        # setting is honored rather than silently dropped.
-        if (settings.use_pallas_occlusion
-                and settings.march_relaxation == 1.0
-                and _pallas_ok(settings, prog)):
+        if settings.use_pallas_occlusion and _pallas_ok(settings, prog):
             import functools
             occl_fn = functools.partial(
                 march_pallas.march_occlusion,

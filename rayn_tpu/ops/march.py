@@ -24,6 +24,21 @@ import jax.numpy as jnp
 from rayn_tpu.ops.sdf import SdfProgram
 
 
+def _vma_zero(*arrays) -> jnp.ndarray:
+    """A zero whose shard_map varying-manual-axes type is the union of
+    all inputs'. Under shard_map the while_loop carries must have the
+    same vma type at entry as the body produces; the body mixes every
+    input (e.g. `direction`), so the *initial* carry must too — even
+    inputs that happen to be replicated (a constant camera origin under
+    a "frame" mesh axis). Value-wise this folds to 0.0."""
+    z = jnp.float32(0.0)
+    for a in arrays:
+        # isnan -> f32 so a NaN lane can't poison the zero
+        v = jnp.asarray(a).reshape(-1)[0]
+        z = z + jnp.isnan(v.astype(jnp.float32)).astype(jnp.float32) * 0.0
+    return z
+
+
 def march(sdf: SdfProgram, origin: jnp.ndarray, direction: jnp.ndarray,
           t_max: jnp.ndarray, eps_const: float, eps_abs: jnp.ndarray,
           eps_lin: jnp.ndarray, max_steps: int,
@@ -41,7 +56,8 @@ def march(sdf: SdfProgram, origin: jnp.ndarray, direction: jnp.ndarray,
     t = t_max + 1, i.e. a miss) so dead wavefront lanes cost no extra
     iterations.
     """
-    t0 = sdf.dist(origin)
+    t0 = sdf.dist(origin) + _vma_zero(origin, direction, t_max,
+                                      eps_abs, eps_lin)
     nan_mask = jnp.isnan(t0)
     if active is not None:
         t0 = jnp.where(active, t0, t_max + 1.0)
@@ -124,7 +140,7 @@ def march_occlusion(sdf: SdfProgram, start: jnp.ndarray, end: jnp.ndarray,
     max_dist = jnp.sqrt(jnp.sum(seg * seg, axis=-1))
     d = seg / max_dist[:, None]
 
-    dist0 = sdf.dist(start)
+    dist0 = sdf.dist(start) + _vma_zero(start, end)
     nan_mask = jnp.isnan(dist0)
     hit0 = dist0 < 1e-4
     if active is not None:

@@ -160,7 +160,7 @@ def march(prog: SdfProgram, origin, direction, t_max, eps_const: float,
     return out.reshape(-1)[:n]
 
 
-def _occl_kernel(fn_c, treedef, n_leaves, max_steps, eps_c, eps_l,
+def _occl_kernel(fn_c, treedef, n_leaves, max_steps, eps_c, eps_l, relax,
                  params_ref, sx, sy, sz, ex, ey, ez, act, out):
     prm = _unflatten_params(params_ref, treedef, n_leaves)
     s_x, s_y, s_z = sx[:], sy[:], sz[:]
@@ -178,21 +178,55 @@ def _occl_kernel(fn_c, treedef, n_leaves, max_steps, eps_c, eps_l,
     # as an int32 vector in the carry.
     hit0 = ((dist0 < 1e-4) & active).astype(jnp.int32)
 
-    def cond(state):
-        step, _, _, stop = state
-        return jnp.logical_and(step < max_steps, jnp.logical_not(stop))
+    if relax == 1.0:
+        def cond(state):
+            step, _, _, stop = state
+            return jnp.logical_and(step < max_steps, jnp.logical_not(stop))
 
-    def body(state):
-        step, t, _, _ = state
+        def body(state):
+            step, t, _, _ = state
+            gt_nan = (t > max_dist) | nan_mask
+            dist = fn_c(prm, s_x + t * d_x, s_y + t * d_y, s_z + t * d_z)
+            hit = jnp.abs(dist) < jnp.maximum(eps_c, eps_l * t)
+            done = hit | gt_nan
+            t = jnp.where(done, t, t + dist)
+            return step + 1, t, hit.astype(jnp.int32), jnp.all(done)
+
+        _, t, hit_i, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), dist0, hit0, jnp.all(nan_mask & False)))
         gt_nan = (t > max_dist) | nan_mask
-        dist = fn_c(prm, s_x + t * d_x, s_y + t * d_y, s_z + t * d_z)
-        hit = jnp.abs(dist) < jnp.maximum(eps_c, eps_l * t)
-        done = hit | gt_nan
-        t = jnp.where(done, t, t + dist)
-        return step + 1, t, hit.astype(jnp.int32), jnp.all(done)
+        out[:] = jnp.where(gt_nan, 0, hit_i)
+        return
 
-    _, t, hit_i, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), dist0, hit0, jnp.all(nan_mask & False)))
+    # Over-relaxed variant (rayn_tpu.ops.march.march_occlusion relax
+    # branch): step by relax*DE, conservative fallback on overshoot keeps
+    # occlusion exact.
+    def cond_r(state):
+        return jnp.logical_and(state[0] < max_steps,
+                               jnp.logical_not(state[5]))
+
+    def body_r(state):
+        step, t_prev, r_prev, t, _, _ = state
+        gt_nan = (t > max_dist) | nan_mask
+        r = fn_c(prm, s_x + t * d_x, s_y + t * d_y, s_z + t * d_z)
+        overshoot = (t - t_prev) > (jnp.abs(r_prev) + jnp.abs(r))
+        hit = (jnp.abs(r) < jnp.maximum(eps_c, eps_l * t)) \
+            & jnp.logical_not(overshoot)
+        done = hit | gt_nan
+        t_cons = t_prev + r_prev
+        new_t_prev = jnp.where(done | overshoot, t_prev, t)
+        new_r_prev = jnp.where(done | overshoot, r_prev, r)
+        next_t = jnp.where(done, t,
+                           jnp.where(overshoot, t_cons, t + relax * r))
+        return (step + 1, new_t_prev, new_r_prev, next_t,
+                hit.astype(jnp.int32), jnp.all(done))
+
+    zeros = jnp.zeros_like(dist0)
+    _, _, _, t, hit_i, _ = jax.lax.while_loop(
+        cond_r, body_r,
+        (jnp.int32(0), zeros, dist0, dist0, hit0,
+         jnp.all(nan_mask & False)))
     gt_nan = (t > max_dist) | nan_mask
     out[:] = jnp.where(gt_nan, 0, hit_i)
 
@@ -202,12 +236,8 @@ def march_occlusion(prog: SdfProgram, start, end, detail_scale: float,
                     block_rows: int = DEFAULT_BLOCK_ROWS,
                     interpret: bool = False, relax: float = 1.0):
     """Pallas twin of rayn_tpu.ops.march.march_occlusion (reference
-    src/sdf.rs:25-57). Returns bool [N]. Plain march only: callers
-    (intersect.test_occluded) route relax != 1.0 to the jnp path."""
-    if relax != 1.0:
-        raise NotImplementedError(
-            "Pallas occlusion kernel does not implement over-relaxation; "
-            "use rayn_tpu.ops.march.march_occlusion for relax != 1.0")
+    src/sdf.rs:25-57), including the over-relaxed variant (Keinert)
+    with its conservative overshoot fallback. Returns bool [N]."""
     n = start.shape[0]
     block_rows = max(block_rows, 8)  # Mosaic minimum (8, 128) tiles
     block = block_rows * LANES
@@ -227,7 +257,7 @@ def march_occlusion(prog: SdfProgram, start, end, detail_scale: float,
                          memory_space=pltpu.VMEM)
     kernel = functools.partial(_occl_kernel, prog.fn_c, treedef, n_leaves,
                                max_steps, 1e-4 * detail_scale,
-                               1e-5 * detail_scale)
+                               1e-5 * detail_scale, relax)
     out = pl.pallas_call(
         kernel,
         grid=(grid,),

@@ -78,6 +78,69 @@ def render_pass_sharded(mesh: Mesh, film, data, static,
     return fn(film, data, tables, camera, fis_table, pass_start, t0, t1)
 
 
+def render_frames_per_chip(data, static, settings: RenderSettings, camera,
+                           frames, mesh: Optional[Mesh] = None,
+                           filter=None, frame_rate: float = 24.0,
+                           shutter_speed: float = 1.0 / 24.0
+                           ) -> list[film_mod.Film]:
+    """Frame-level parallelism: deal whole frames across the mesh's
+    devices, one frame per chip (BASELINE.json config #5; the
+    reference's only frame loop is sequential, src/main.rs:47-58).
+
+    Each device renders its entire frame locally — scene replicated,
+    nothing rides the interconnect until the final per-frame film
+    gather — so every frame's film is bit-identical to the sequential
+    `renderer.render_frame` path (same pass structure, same scatter-add
+    order, counter-based samplers salted only by the frame number).
+
+    `frames` is a list of frame indices; it is processed in chunks of
+    n_devices. Returns one Film per frame, in order.
+    """
+    devices = list((mesh.devices.flatten() if mesh is not None
+                    else jax.devices()))
+    w, h = settings.resolution
+    total = w * h * settings.spp
+    pass_size = min(settings.rays_per_pass, total)
+    n_passes = -(-total // pass_size)
+    filt = filter or filter_ops.blackman_harris(1.5)
+    fis_table = filter_ops.build_fis_table(filt, settings.filter_table_size)
+
+    films: list[film_mod.Film] = []
+    frames = list(frames)
+    for chunk_start in range(0, len(frames), len(devices)):
+        chunk = frames[chunk_start:chunk_start + len(devices)]
+        fmesh = Mesh(np.asarray(devices[:len(chunk)]), ("frame",))
+
+        # Per-frame leading axis [F, ...]: sampler salt + shutter range.
+        tables = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[rng.build_sample_tables(settings, f) for f in chunk])
+        t0 = jnp.asarray([f / frame_rate for f in chunk], jnp.float32)
+        t1 = t0 + jnp.float32(shutter_speed)
+
+        def local_frames(data, tables, camera, fis_table, t0, t1):
+            local_tables = jax.tree.map(lambda x: x[0], tables)
+            film = film_mod.new_film(w * h)
+            for p in range(n_passes):
+                film = renderer.render_pass(
+                    film, data, static, settings, local_tables, camera,
+                    fis_table, jnp.int32(p * pass_size), pass_size,
+                    t0[0], t1[0])
+            return jax.tree.map(lambda x: x[None], film)
+
+        fn = jax.jit(jax.shard_map(
+            local_frames,
+            mesh=fmesh,
+            in_specs=(P(), P("frame"), P(), P(), P("frame"), P("frame")),
+            out_specs=P("frame"),
+        ))
+        out = fn(data, tables, camera, fis_table, t0, t1)
+        jax.block_until_ready(out)
+        for i in range(len(chunk)):
+            films.append(jax.tree.map(lambda x: x[i], out))
+    return films
+
+
 def render_frame_sharded(data, static, settings: RenderSettings, camera,
                          frame: int = 1, mesh: Optional[Mesh] = None,
                          time_range=None, filter=None,

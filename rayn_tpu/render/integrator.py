@@ -36,9 +36,9 @@ import jax.numpy as jnp
 from rayn_tpu.config import RenderSettings
 from rayn_tpu.ops import bsdf as bsdf_ops
 from rayn_tpu.ops import intersect, lights
-from rayn_tpu.scene.scene import (SceneData, SceneStatic,
+from rayn_tpu.scene.scene import (REFRACTIVE, SceneData, SceneStatic,
                                   light_position_of)
-from rayn_tpu.utils import rng, vecmath
+from rayn_tpu.utils import rng, sampling, vecmath
 from rayn_tpu.utils.gather import small_gather
 from rayn_tpu.utils.rng import SampleTables
 
@@ -54,6 +54,10 @@ class PathState(NamedTuple):
     pixel: jnp.ndarray       # [N] int32 flat pixel id
     sample_idx: jnp.ndarray  # [N] int32 per-pixel sample number
     alive: jnp.ndarray       # [N] bool
+    # solid-angle pdf of the BSDF sample that spawned this ray; -1.0 for
+    # camera rays or vertices where NEE could not have sampled the same
+    # emitter (used only when settings.mis)
+    prev_pdf: jnp.ndarray    # [N]
     # terminal channel outputs (each lane writes each at most once)
     color_out: jnp.ndarray   # [N, 3]
     bg_out: jnp.ndarray      # [N, 3]
@@ -68,6 +72,7 @@ def init_state(origin, direction, time, pixel, sample_idx, alive) -> PathState:
         origin=origin, direction=direction, time=time,
         radiance=z3, throughput=jnp.ones((n, 3), jnp.float32),
         pixel=pixel, sample_idx=sample_idx, alive=alive,
+        prev_pdf=jnp.full((n,), -1.0, jnp.float32),
         color_out=z3, bg_out=z3,
         alpha_out=jnp.zeros((n,), jnp.float32), normal_out=z3)
 
@@ -123,8 +128,32 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
     else:
         vol_trans = jnp.ones((n,), jnp.float32)
 
-    # 2. emission
+    # 2. emission. With MIS, BSDF-hit emission of an emissive sphere
+    # paired with a sphere light is power-heuristic weighted against the
+    # NEE strategy that could have sampled the same emitter from the
+    # previous vertex (the pairing removes the reference's co-located
+    # double count, src/setup.rs:107-122 + dead power_heuristic
+    # src/math.rs:193-199).
     le = bsdf_ops.emitted(mat, wo)
+    if s.mis and depth > 0 and static.n_lights > 0 and static.n_spheres > 0:
+        sph_idx = jnp.clip(hit.obj, 0, static.n_spheres - 1)
+        pair = small_gather(
+            data.sphere_light.astype(jnp.float32)[:, None],
+            sph_idx)[:, 0].astype(jnp.int32)
+        is_paired = ((hit.obj >= 0) & (hit.obj < static.n_spheres)
+                     & (pair >= 0) & (state.prev_pdf >= 0.0))
+        lidx_p = jnp.clip(pair, 0, static.n_lights - 1)
+        lp = light_position_of(data, lidx_p, state.time)
+        lr = small_gather(data.light_radii[:, None], lidx_p)[:, 0]
+        d2 = vecmath.length_sq(lp - state.origin)
+        cos_theta_max = jnp.sqrt(jnp.maximum(0.0, 1.0 - lr * lr / d2))
+        # NEE samples nee_light_samples directions, each with density
+        # cone_pdf * (1/n_lights); the BSDF strategy drew one sample
+        # with density prev_pdf.
+        q = sampling.uniform_cone_pdf(cos_theta_max) / static.n_lights
+        w_bsdf = sampling.power_heuristic(
+            1.0, state.prev_pdf, float(s.nee_light_samples), q)
+        le = le * jnp.where(is_paired, w_bsdf, 1.0)[:, None]
     radiance = state.radiance + jnp.where(
         live[:, None], le * state.throughput * vol_trans[:, None], 0.0)
 
@@ -162,6 +191,18 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
             contrib = (li * f * (seg_trans / pdf)[:, None]
                        * state.throughput * (correction * vol_trans)[..., None])
             contrib = jnp.where(receives[:, None], contrib, 0.0)
+            if s.mis:
+                # Weight NEE against the BSDF strategy for *paired*
+                # lights only — unpaired lights are invisible to BSDF
+                # rays, so their NEE weight stays 1.
+                p_bsdf = bsdf_ops.eval_pdf(mat, s, wo, wi, info.normal)
+                q = pdf / static.n_lights
+                w_light = sampling.power_heuristic(
+                    float(s.nee_light_samples), q, 1.0, p_bsdf)
+                paired = small_gather(
+                    data.light_paired[:, None], lidx)[:, 0]
+                contrib = contrib * jnp.where(paired > 0.0,
+                                              w_light, 1.0)[:, None]
             # a zero contribution (light below horizon, black throughput)
             # needs no visibility test
             worth_it = receives & jnp.any(contrib != 0.0, axis=-1)
@@ -272,6 +313,11 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
     tp_nan = jnp.any(jnp.isnan(new_throughput), axis=-1)
     next_tp = jnp.where(tp_nan[:, None], state.throughput, new_throughput)
 
+    # Refractive vertices do no NEE (eval_f = 0), so the light strategy
+    # can never produce their continuation's emitter hits: mark the
+    # spawned ray as MIS-exempt (weight 1 at the next emissive hit).
+    next_pdf = jnp.where(mat.kind == REFRACTIVE, -1.0, se.pdf)
+
     return PathState(
         origin=jnp.where(survive[:, None], new_origin, state.origin),
         direction=jnp.where(survive[:, None], se.wi, state.direction),
@@ -281,6 +327,7 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
         pixel=state.pixel,
         sample_idx=state.sample_idx,
         alive=survive,
+        prev_pdf=jnp.where(survive, next_pdf, state.prev_pdf),
         color_out=color_out,
         bg_out=bg_out,
         alpha_out=alpha_out,

@@ -86,9 +86,11 @@ def default_scene(resolution=(1280, 720), world_radius: float = 100.0,
 
 
 def spheres_scene(resolution=(1280, 720), world_radius: float = 100.0):
-    """Analytic-spheres-only scene (BASELINE.json config #2): a grid of
-    lambert/dielectric spheres under the sky with two sphere lights —
-    exercises the hit/shade/splat path with no marching."""
+    """Analytic-spheres-only scene (BASELINE.json config #2,
+    "diffuse/metal/dielectric BSDFs"): a row of lambert / dielectric /
+    metal / refractive spheres under the sky with two sphere lights —
+    exercises the hit/shade/splat path across every receiving BSDF kind
+    with no marching."""
     b = SceneBuilder()
     sky = b.add_sky(top=(0.3, 0.4, 0.6),
                     bottom=np.asarray((0.2, 0.3, 0.6), np.float32) * 0.05)
@@ -100,12 +102,14 @@ def spheres_scene(resolution=(1280, 720), world_radius: float = 100.0):
     mats = [
         b.add_lambertian((0.7, 0.3, 0.3)),
         b.add_dielectric((0.8, 0.8, 0.2), 0.2),
+        b.add_metallic((0.9, 0.7, 0.3), 0.15),
         b.add_dielectric((0.3, 0.5, 0.8), 0.6),
+        b.add_refractive((0.9, 0.95, 1.0), 0.0, 1.5),
         b.add_lambertian((0.2, 0.7, 0.4)),
     ]
     for i, m in enumerate(mats):
-        x = -1.5 + i * 1.0
-        b.add_sphere((x, 0.0, 0.0), 0.5, m)
+        x = -2.0 + i * 0.8
+        b.add_sphere((x, 0.0, 0.0), 0.38, m)
 
     warm = _normalized((5.0, 4.0, 2.5))
     b.add_sphere_light((2.0, 2.5, 2.0), 0.4, warm * 30.0)

@@ -62,6 +62,9 @@ class SceneData(NamedTuple):
     sdf_params: Any               # pytree of the SDF program's parameters
     volume_sigma_s: jnp.ndarray   # scalar f32 (0 when disabled)
     volume_sigma_t: jnp.ndarray   # scalar f32 (0 when disabled)
+    # light <-> emissive-sphere pairing for MIS (RenderSettings.mis):
+    sphere_light: jnp.ndarray     # [K] int32 paired light id, -1 = none
+    light_paired: jnp.ndarray     # [L] f32 1.0 if the light has a pair
 
 
 @dataclasses.dataclass(frozen=True)
@@ -134,6 +137,7 @@ class SceneBuilder:
         self._sdf_mat: int = -1
         self._sigma_s: Optional[float] = None
         self._sigma_t: Optional[float] = None
+        self._pairs: dict[int, int] = {}  # sphere id -> light id
 
     # --- materials (reference src/material.rs:58-73) ----------------------
     def _add_material(self, kind, a, b, power, ior=1.0) -> int:
@@ -204,6 +208,15 @@ class SceneBuilder:
         self._light_emission.append(np.asarray(emission, np.float32))
         return len(self._light_radii) - 1
 
+    def pair_light(self, light: int, sphere: int) -> None:
+        """Declare that sphere `sphere` (an emissive hitable) is the
+        visible body of sphere light `light`. With RenderSettings.mis the
+        pair is treated as one emitter: NEE (toward the light) and BSDF
+        hits (on the sphere) are power-heuristic weighted instead of
+        double-counted. Co-located constant-position pairs are also
+        auto-detected at build()."""
+        self._pairs[int(sphere)] = int(light)
+
     # --- volume (reference src/volume.rs:1-5) ------------------------------
     def set_volume(self, coeff_scattering: Optional[float],
                    coeff_extinction: Optional[float]) -> None:
@@ -220,6 +233,30 @@ class SceneBuilder:
         n_lights = len(self._light_radii)
         lpos = stack_channels(self._light_pos) if n_lights else AnimChannel(
             jnp.zeros((0, 1, 3)), jnp.float32(0), jnp.float32(1))
+
+        # Light <-> emissive-sphere pairing for MIS: explicit pair_light
+        # calls, plus auto-detection of co-located pairs (an emissive
+        # sphere whose animated center matches a light's position, the
+        # reference scene's construction, src/setup.rs:107-122).
+        sphere_light = np.full((k,), -1, np.int32)
+        for sph, lt in self._pairs.items():
+            sphere_light[sph] = lt
+        for sph in range(k):
+            if sphere_light[sph] >= 0:
+                continue
+            if self._mat_kind[self._sphere_mats[sph]] != EMISSIVE:
+                continue
+            c = self._sphere_centers[sph]
+            for lt in range(n_lights):
+                p = self._light_pos[lt]
+                if (np.asarray(c.values).shape == np.asarray(p.values).shape
+                        and np.allclose(c.values, p.values)
+                        and np.allclose(c.t0, p.t0)
+                        and np.allclose(c.t1, p.t1)):
+                    sphere_light[sph] = lt
+                    break
+        light_paired = np.zeros((n_lights,), np.float32)
+        light_paired[sphere_light[sphere_light >= 0]] = 1.0
 
         materials = Materials(
             kind=jnp.asarray(self._mat_kind, jnp.int32),
@@ -241,6 +278,8 @@ class SceneBuilder:
             sdf_params=self._sdf.params if self._sdf else (),
             volume_sigma_s=jnp.float32(self._sigma_s or 0.0),
             volume_sigma_t=jnp.float32(self._sigma_t or 0.0),
+            sphere_light=jnp.asarray(sphere_light),
+            light_paired=jnp.asarray(light_paired),
         )
         static = SceneStatic(
             n_spheres=k,

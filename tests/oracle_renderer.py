@@ -95,6 +95,7 @@ class OracleScene:
         self.color_a = np.asarray(data.materials.color_a, np.float64)
         self.color_b = np.asarray(data.materials.color_b, np.float64)
         self.power = np.asarray(data.materials.power, np.float64)
+        self.ior = np.asarray(data.materials.ior, np.float64)
         self.lights_p = np.asarray(data.light_pos.values)[:, 0, :]
         self.lights_r = np.asarray(data.light_radii)
         self.lights_e = np.asarray(data.light_emission, np.float64)
@@ -242,7 +243,8 @@ def render_oracle(data, static, settings, camera, frame, time_range,
                         radiance += le * tp * vol_trans
                     elif kind == 3:  # emissive
                         radiance += scene.color_b[mat] * tp * vol_trans
-                    receives = kind in (0, 1)
+                    # lambert, dielectric, metallic, refractive scatter on
+                    receives = kind in (0, 1, 4, 5)
 
                     # NEE
                     if len(scene.lights_r) and receives:
@@ -269,6 +271,8 @@ def render_oracle(data, static, settings, camera, frame, time_range,
                             # bsdf f
                             if kind == 0:
                                 f = scene.color_a[mat] / PI
+                            elif kind == 5:
+                                continue  # refractive: no NEE (f = 0)
                             else:
                                 fr = schlick(ndl)
                                 half = wo + wi
@@ -276,8 +280,13 @@ def render_oracle(data, static, settings, camera, frame, time_range,
                                 ca = max(0.0, float(np.dot(half, n))) ** \
                                     scene.power[mat]
                                 spec = ca * (scene.power[mat] + 2) / (2 * PI)
-                                f = (spec * fr
-                                     + scene.color_a[mat] / PI * (1 - fr))
+                                if kind == 4:  # metallic: colored Fresnel
+                                    a_c = scene.color_a[mat]
+                                    fres_c = a_c + (1 - a_c) * (1 - ndl) ** 5
+                                    f = fres_c * spec
+                                else:
+                                    f = (spec * fr
+                                         + scene.color_a[mat] / PI * (1 - fr))
                             seg_tr = (np.exp(-scene.sigma_t * dist)
                                       if scene.sigma_t is not None else 1.0)
                             radiance += (scene.lights_e[li_idx] * f * ndl
@@ -344,6 +353,36 @@ def render_oracle(data, static, settings, camera, frame, time_range,
                     lam_pdf = ds[2] / PI
                     if kind == 0:
                         wi, f, pdf = dbounce, scene.color_a[mat] / PI, lam_pdf
+                    elif kind == 5:
+                        # refractive: Fresnel-weighted reflect/refract,
+                        # cosine lobe around the chosen axis, TIR fallback
+                        # (mirror of rayn_tpu.ops.bsdf scatter kind 5)
+                        ior = scene.ior[mat]
+                        cos_i = float(np.dot(wo, n))
+                        entering = cos_i > 0.0
+                        n_ref = n if entering else -n
+                        eta = 1.0 / ior if entering else ior
+                        ci = abs(cos_i)
+                        sin2_t = eta * eta * max(0.0, 1.0 - ci * ci)
+                        tir = sin2_t > 1.0
+                        cos_t = np.sqrt(max(0.0, 1.0 - sin2_t))
+                        refr_dir = -wo * eta + n_ref * (eta * ci - cos_t)
+                        nrm = np.linalg.norm(refr_dir)
+                        refr_dir = refr_dir / (nrm if nrm > 1e-20 else 1e-20)
+                        f0 = ((1.0 - ior) / (1.0 + ior)) ** 2
+                        fr = schlick(ci, f0)
+                        refl_dir = 2 * np.dot(wo, n_ref) * n_ref - wo
+                        take_reflect = (uf < fr) or tir
+                        axis = refl_dir if take_reflect else refr_dir
+                        auu, avv = onb(axis)
+                        rs = cosine_hemisphere(udiff[0], udiff[1])
+                        wi = auu * rs[0] + avv * rs[1] + axis * rs[2]
+                        wi /= np.linalg.norm(wi)
+                        pdf = max(rs[2] / PI, 1e-6)
+                        colr = (np.ones(3) if take_reflect
+                                else scene.color_a[mat])
+                        ndl_r = max(abs(float(np.dot(wi, n))), 1e-6)
+                        f = colr * (pdf / ndl_r)
                     else:
                         power = scene.power[mat]
                         refl = 2 * np.dot(wo, n) * n - wo
@@ -355,14 +394,22 @@ def render_oracle(data, static, settings, camera, frame, time_range,
                         spdf = (power + 1) / (2 * PI) * cap
                         scoeff = 0.0 if np.dot(n, sbounce) < 0 else \
                             (power + 2) / (2 * PI) * cap
-                        fr = schlick(abs(float(np.dot(n, wo))))
-                        if uf < fr:
+                        if kind == 4:  # metallic: Phong only, colored Fresnel
+                            a_c = scene.color_a[mat]
+                            cosw = abs(float(np.dot(n, wo)))
+                            fres_c = a_c + (1 - a_c) * (1 - cosw) ** 5
                             wi = sbounce
-                            f = np.array([scoeff] * 3)
+                            f = fres_c * scoeff
+                            pdf = spdf
                         else:
-                            wi = dbounce
-                            f = scene.color_a[mat] / PI
-                        pdf = fr * spdf + (1 - fr) * max(1e-5, lam_pdf)
+                            fr = schlick(abs(float(np.dot(n, wo))))
+                            if uf < fr:
+                                wi = sbounce
+                                f = np.array([scoeff] * 3)
+                            else:
+                                wi = dbounce
+                                f = scene.color_a[mat] / PI
+                            pdf = fr * spdf + (1 - fr) * max(1e-5, lam_pdf)
                     ndl = abs(float(np.dot(wi, n)))
                     new_tp = tp * vol_trans * f * ndl / pdf
                     if depth > 2:

@@ -49,3 +49,43 @@ def test_cli_multichip(tmp_path):
     ])
     assert rc == 0
     assert (tmp_path / "frame0001_2spp_color.png").exists()
+
+
+def test_cli_multichip_frames_mode(tmp_path):
+    """--multichip with 2+ frames deals frames out one-per-chip
+    (BASELINE config #5) and writes every frame's PNGs."""
+    from rayn_tpu import cli
+    rc = cli.main([
+        "--scene", "spheres", "--width", "16", "--height", "12",
+        "--spp", "2", "--bounces", "1", "--max-marches", "8",
+        "--frames", "1", "4", "--out", str(tmp_path),
+        "--channels", "color", "--rays-per-pass", "256", "--multichip",
+    ])
+    assert rc == 0
+    for f in (1, 2, 3):
+        assert (tmp_path / f"frame{f:04d}_2spp_color.png").exists()
+
+
+def test_cli_thinlens_and_ortho_cameras(tmp_path):
+    """DoF and orthographic cameras are reachable end-to-end from the
+    CLI (reference offers them in code, src/camera.rs:120-285)."""
+    from rayn_tpu import cli
+    for cam, extra in (
+            ("thinlens", ["--aperture", "0.2", "--focus", "0", "0", "0"]),
+            ("ortho", ["--ortho-height", "3.0"])):
+        rc = cli.main([
+            "--scene", "spheres", "--width", "16", "--height", "12",
+            "--spp", "2", "--bounces", "1", "--max-marches", "8",
+            "--frames", "1", "2", "--out", str(tmp_path / cam),
+            "--channels", "color", "--rays-per-pass", "256",
+            "--camera", cam, *extra,
+        ])
+        assert rc == 0
+        assert (tmp_path / cam / "frame0001_2spp_color.png").exists()
+    # the two cameras see different images
+    from PIL import Image
+    a = np.asarray(Image.open(tmp_path / "thinlens"
+                              / "frame0001_2spp_color.png"))
+    b = np.asarray(Image.open(tmp_path / "ortho"
+                              / "frame0001_2spp_color.png"))
+    assert not np.array_equal(a, b)

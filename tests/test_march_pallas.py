@@ -43,6 +43,27 @@ class TestMarchPallasInterpret:
                                          active=active, interpret=True)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_matches_jnp_occlusion_relaxed(self):
+        """Over-relaxed occlusion: Pallas kernel == jnp twin at
+        relax=1.5 (the conservative overshoot fallback keeps results
+        exact, so both must also equal the relax=1.0 answer)."""
+        prog = sdf.mandelbox(6, 1.0, 0.01, 1.9, -2.1)
+        rng = np.random.default_rng(5)
+        n = 300
+        start = jnp.asarray(rng.uniform(-2, 2, (n, 3)).astype(np.float32))
+        end = jnp.asarray(rng.uniform(-2, 2, (n, 3)).astype(np.float32))
+        active = jnp.asarray(rng.uniform(size=n) > 0.15)
+        a = march.march_occlusion(prog, start, end, 0.5, 100,
+                                  active=active, relax=1.5)
+        b = march_pallas.march_occlusion(prog, start, end, 0.5, 100,
+                                         active=active, relax=1.5,
+                                         interpret=True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        plain = march.march_occlusion(prog, start, end, 0.5, 100,
+                                      active=active)
+        # identical visibility on a well-behaved budget
+        assert (np.asarray(a) == np.asarray(plain)).mean() > 0.97
+
     def test_inactive_lanes_miss(self):
         prog = sdf.sphere(1.0)
         o = jnp.asarray([[0.0, 0.0, 3.0]] * 4)

@@ -112,6 +112,14 @@ class RenderSettings:
     # blocks amortize grid overhead, shadow rays rarely exit early).
     pallas_occl_block_rows: int = 64
 
+    # Two-phase occlusion march: phase 1 marches the whole shadow queue
+    # this many steps, then the unresolved stragglers are stable-
+    # partitioned to the front and finished densely (all-resolved tail
+    # blocks exit after one step). 0 disables (single-phase kernel).
+    # Bit-identical results either way; a per-block early exit is
+    # otherwise bounded by the slowest lane in each 8K-lane block.
+    occl_phase1_steps: int = 0
+
     # Rays per Pallas march block (block_rows * 128; min 8 rows). Smaller
     # blocks give finer-grained early exit; larger blocks amortize grid
     # overhead. 64 measured best for the primary march on v5e

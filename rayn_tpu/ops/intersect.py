@@ -121,18 +121,27 @@ def test_occluded(data: SceneData, static: SceneStatic,
         occluded = occluded | jnp.any(occ, axis=1)
     if static.has_sdf:
         prog = static.sdf_program(data)
-        if settings.use_pallas_occlusion and _pallas_ok(settings, prog):
-            import functools
+        import functools
+        if (settings.use_pallas_occlusion and _pallas_ok(settings, prog)
+                and settings.occl_phase1_steps > 0
+                and settings.march_relaxation == 1.0):
+            occl_fn = functools.partial(
+                march_pallas.march_occlusion_phased,
+                phase1_steps=settings.occl_phase1_steps,
+                block_rows=settings.pallas_occl_block_rows)
+        elif settings.use_pallas_occlusion and _pallas_ok(settings, prog):
             occl_fn = functools.partial(
                 march_pallas.march_occlusion,
-                block_rows=settings.pallas_occl_block_rows)
+                block_rows=settings.pallas_occl_block_rows,
+                relax=settings.march_relaxation)
         else:
-            occl_fn = march_ops.march_occlusion
+            occl_fn = functools.partial(
+                march_ops.march_occlusion,
+                relax=settings.march_relaxation)
         occ_sdf = occl_fn(
             prog, start, end, settings.sdf_detail_scale,
             settings.max_vis_marches,
-            active=active & jnp.logical_not(occluded),
-            relax=settings.march_relaxation)
+            active=active & jnp.logical_not(occluded))
         occluded = occluded | occ_sdf
     return jnp.where(occluded, 0.0, 1.0)
 

@@ -231,6 +231,334 @@ def _occl_kernel(fn_c, treedef, n_leaves, max_steps, eps_c, eps_l, relax,
     out[:] = jnp.where(gt_nan, 0, hit_i)
 
 
+def _march_phase1_kernel(fn_c, treedef, n_leaves, max_steps, eps_const,
+                         params_ref, ox, oy, oz, dx, dy, dz, tmax, eabs,
+                         elin, act, out_t, out_res):
+    """Step-capped primary march reporting per-lane resolvedness so
+    stragglers can be packed and resumed (march_phased)."""
+    prm = _unflatten_params(params_ref, treedef, n_leaves)
+    o_x, o_y, o_z = ox[:], oy[:], oz[:]
+    d_x, d_y, d_z = dx[:], dy[:], dz[:]
+    t_max = tmax[:]
+    eps_abs = eabs[:]
+    eps_lin = elin[:]
+    active = act[:] != 0
+
+    t0 = fn_c(prm, o_x, o_y, o_z)
+    nan_mask = jnp.isnan(t0) & active
+    t0 = jnp.where(active, t0, t_max + 1.0)
+    done0 = (jnp.logical_not(active) | nan_mask).astype(jnp.int32)
+
+    def done_of(t, dist):
+        thresh = jnp.maximum(eps_const, eps_abs + eps_lin * t)
+        return (jnp.abs(dist) < thresh) | nan_mask | (t > t_max)
+
+    def cond(state):
+        step, _, _, all_done = state
+        return jnp.logical_and(step < max_steps, jnp.logical_not(all_done))
+
+    def body(state):
+        step, t, _, _ = state
+        dist = fn_c(prm, o_x + t * d_x, o_y + t * d_y, o_z + t * d_z)
+        done = done_of(t, dist)
+        t = jnp.where(done, t, t + dist)
+        return step + 1, t, done.astype(jnp.int32), jnp.all(done)
+
+    _, t, done_i, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), t0, done0, jnp.all(done0 != 0)))
+    out_t[:] = t
+    out_res[:] = done_i | done0
+
+
+def _march_resume_kernel(fn_c, treedef, n_leaves, max_steps, eps_const,
+                         params_ref, ox, oy, oz, dx, dy, dz, tmax, eabs,
+                         elin, tin, act, out_t):
+    """Primary march resumed at a given t (phase 2 of march_phased)."""
+    prm = _unflatten_params(params_ref, treedef, n_leaves)
+    o_x, o_y, o_z = ox[:], oy[:], oz[:]
+    d_x, d_y, d_z = dx[:], dy[:], dz[:]
+    t_max = tmax[:]
+    eps_abs = eabs[:]
+    eps_lin = elin[:]
+    inactive = act[:] == 0
+    t0 = tin[:]
+
+    def done_of(t, dist):
+        thresh = jnp.maximum(eps_const, eps_abs + eps_lin * t)
+        return (jnp.abs(dist) < thresh) | inactive | (t > t_max)
+
+    def cond(state):
+        step, _, all_done = state
+        return jnp.logical_and(step < max_steps, jnp.logical_not(all_done))
+
+    def body(state):
+        step, t, _ = state
+        dist = fn_c(prm, o_x + t * d_x, o_y + t * d_y, o_z + t * d_z)
+        done = done_of(t, dist)
+        t = jnp.where(done, t, t + dist)
+        return step + 1, t, jnp.all(done)
+
+    _, t, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), t0, jnp.all(inactive & False)))
+    out_t[:] = t
+
+
+def march_phased(prog: SdfProgram, origin, direction, t_max,
+                 eps_const: float, eps_abs, eps_lin, max_steps: int,
+                 active, phase1_steps: int = 32,
+                 block_rows: int = DEFAULT_BLOCK_ROWS,
+                 interpret: bool = False):
+    """Two-phase primary march with straggler packing (see
+    march_occlusion_phased; same scheme for the camera/bounce march,
+    reference src/sdf.rs:59-83). Bit-identical to march()."""
+    n = origin.shape[0]
+    block_rows = max(block_rows, 8)
+    block = block_rows * LANES
+    n_pad = -(-n // block) * block
+    rows = n_pad // LANES
+
+    params, treedef, n_leaves = _flatten_params(prog.params)
+    args = [
+        _to_rows(origin[:, 0], rows), _to_rows(origin[:, 1], rows),
+        _to_rows(origin[:, 2], rows),
+        _to_rows(direction[:, 0], rows), _to_rows(direction[:, 1], rows),
+        _to_rows(direction[:, 2], rows),
+        _to_rows(t_max, rows), _to_rows(eps_abs, rows),
+        _to_rows(eps_lin, rows),
+        _to_rows(active.astype(jnp.int32), rows),
+    ]
+    grid = rows // block_rows
+    vspec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec((1, max(n_leaves, 1)), lambda i: (0, 0),
+                        memory_space=pltpu.SMEM)
+    k1 = functools.partial(_march_phase1_kernel, prog.fn_c, treedef,
+                           n_leaves, min(phase1_steps, max_steps), eps_const)
+    t1, res1 = pl.pallas_call(
+        k1, grid=(grid,),
+        in_specs=[smem] + [vspec] * 10,
+        out_specs=(vspec, vspec),
+        out_shape=(jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((rows, LANES), jnp.int32)),
+        interpret=interpret,
+    )(params, *args)
+    t1 = t1.reshape(-1)[:n]
+    resolved = res1.reshape(-1)[:n] != 0
+    if phase1_steps >= max_steps:
+        return t1
+
+    unresolved = jnp.logical_not(resolved)
+    ur = jnp.cumsum(unresolved.astype(jnp.int32)) - 1
+    n_ur = ur[-1] + 1
+    rr = jnp.cumsum(resolved.astype(jnp.int32)) - 1
+    dest = jnp.where(unresolved, ur, n_ur + rr)
+    order = jnp.zeros((n,), jnp.int32).at[dest].set(
+        jnp.arange(n, dtype=jnp.int32))
+
+    o2 = jnp.take(origin, order, axis=0)
+    d2 = jnp.take(direction, order, axis=0)
+    args2 = [
+        _to_rows(o2[:, 0], rows), _to_rows(o2[:, 1], rows),
+        _to_rows(o2[:, 2], rows),
+        _to_rows(d2[:, 0], rows), _to_rows(d2[:, 1], rows),
+        _to_rows(d2[:, 2], rows),
+        _to_rows(jnp.take(t_max, order), rows),
+        _to_rows(jnp.take(eps_abs, order), rows),
+        _to_rows(jnp.take(eps_lin, order), rows),
+        _to_rows(jnp.take(t1, order), rows),
+        _to_rows(jnp.take(unresolved, order).astype(jnp.int32), rows),
+    ]
+    k2 = functools.partial(_march_resume_kernel, prog.fn_c, treedef,
+                           n_leaves, max_steps - phase1_steps, eps_const)
+    t2 = pl.pallas_call(
+        k2, grid=(grid,),
+        in_specs=[smem] + [vspec] * 11,
+        out_specs=vspec,
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+        interpret=interpret,
+    )(params, *args2)
+    t2 = t2.reshape(-1)[:n]
+    t2_unpacked = jnp.zeros((n,), jnp.float32).at[order].set(t2)
+    return jnp.where(resolved, t1, t2_unpacked)
+
+
+def _occl_phase1_kernel(fn_c, treedef, n_leaves, max_steps, eps_c, eps_l,
+                        params_ref, sx, sy, sz, ex, ey, ez, act,
+                        out, out_t, out_res):
+    """Step-capped occlusion march that additionally reports per-lane
+    resolvedness and the frozen/current march parameter t, so unresolved
+    lanes can be packed densely and resumed (march_occlusion_phased)."""
+    prm = _unflatten_params(params_ref, treedef, n_leaves)
+    s_x, s_y, s_z = sx[:], sy[:], sz[:]
+    seg_x = ex[:] - s_x
+    seg_y = ey[:] - s_y
+    seg_z = ez[:] - s_z
+    max_dist = jnp.sqrt(seg_x * seg_x + seg_y * seg_y + seg_z * seg_z)
+    inv = 1.0 / max_dist
+    d_x, d_y, d_z = seg_x * inv, seg_y * inv, seg_z * inv
+    active = act[:] != 0
+
+    dist0 = fn_c(prm, s_x, s_y, s_z)
+    nan_mask = jnp.isnan(dist0) | jnp.logical_not(active)
+    hit0 = ((dist0 < 1e-4) & active).astype(jnp.int32)
+
+    def cond(state):
+        step, _, _, stop = state
+        return jnp.logical_and(step < max_steps, jnp.logical_not(stop))
+
+    def body(state):
+        step, t, _, _ = state
+        gt_nan = (t > max_dist) | nan_mask
+        dist = fn_c(prm, s_x + t * d_x, s_y + t * d_y, s_z + t * d_z)
+        hit = jnp.abs(dist) < jnp.maximum(eps_c, eps_l * t)
+        done = hit | gt_nan
+        t = jnp.where(done, t, t + dist)
+        return step + 1, t, hit.astype(jnp.int32), jnp.all(done)
+
+    _, t, hit_i, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), dist0, hit0, jnp.all(nan_mask & False)))
+    gt_nan = (t > max_dist) | nan_mask
+    out[:] = jnp.where(gt_nan, 0, hit_i)
+    out_t[:] = t
+    # A lane is resolved iff it hit or marched past the segment end (the
+    # single-phase kernel's `done`); a lane that merely ran out of steps
+    # continues in phase 2 from exactly this t, so the composition is
+    # bit-identical to one uncapped march.
+    out_res[:] = (gt_nan | (hit_i != 0)).astype(jnp.int32)
+
+
+def _occl_resume_kernel(fn_c, treedef, n_leaves, max_steps, eps_c, eps_l,
+                        params_ref, sx, sy, sz, ex, ey, ez, tin, act, out):
+    """Occlusion march resumed at a given t (phase 2 of the two-phase
+    scheme). Lanes enter not-hit and not-past-end by construction."""
+    prm = _unflatten_params(params_ref, treedef, n_leaves)
+    s_x, s_y, s_z = sx[:], sy[:], sz[:]
+    seg_x = ex[:] - s_x
+    seg_y = ey[:] - s_y
+    seg_z = ez[:] - s_z
+    max_dist = jnp.sqrt(seg_x * seg_x + seg_y * seg_y + seg_z * seg_z)
+    inv = 1.0 / max_dist
+    d_x, d_y, d_z = seg_x * inv, seg_y * inv, seg_z * inv
+    inactive = act[:] == 0
+    t0 = tin[:]
+
+    def cond(state):
+        step, _, _, stop = state
+        return jnp.logical_and(step < max_steps, jnp.logical_not(stop))
+
+    def body(state):
+        step, t, _, _ = state
+        gt_nan = (t > max_dist) | inactive
+        dist = fn_c(prm, s_x + t * d_x, s_y + t * d_y, s_z + t * d_z)
+        hit = jnp.abs(dist) < jnp.maximum(eps_c, eps_l * t)
+        done = hit | gt_nan
+        t = jnp.where(done, t, t + dist)
+        return step + 1, t, hit.astype(jnp.int32), jnp.all(done)
+
+    _, t, hit_i, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), t0, jnp.zeros_like(t0, jnp.int32),
+         jnp.all(inactive & False)))
+    gt_nan = (t > max_dist) | inactive
+    out[:] = jnp.where(gt_nan, 0, hit_i)
+
+
+def march_occlusion_phased(prog: SdfProgram, start, end,
+                           detail_scale: float, max_steps: int, active,
+                           phase1_steps: int = 16,
+                           block_rows: int = DEFAULT_BLOCK_ROWS,
+                           interpret: bool = False):
+    """Two-phase occlusion march with straggler packing.
+
+    The single-phase kernel's per-block early exit is bounded by the
+    slowest lane in each (block_rows x 128) block; with incoherent
+    shadow segments nearly every block contains one lane that needs the
+    full step budget. Phase 1 marches the whole queue only
+    `phase1_steps` steps (resolving the cheap majority), then the
+    unresolved lanes are stable-partitioned to the front of the queue
+    and finished in a dense phase-2 march whose all-dead tail blocks
+    exit immediately. Results are bit-identical to march_occlusion
+    (same per-lane step sequence, reference src/sdf.rs:25-57).
+    """
+    n = start.shape[0]
+    block_rows = max(block_rows, 8)
+    block = block_rows * LANES
+    n_pad = -(-n // block) * block
+    rows = n_pad // LANES
+
+    params, treedef, n_leaves = _flatten_params(prog.params)
+    eps_c = 1e-4 * detail_scale
+    eps_l = 1e-5 * detail_scale
+    args = [
+        _to_rows(start[:, 0], rows), _to_rows(start[:, 1], rows),
+        _to_rows(start[:, 2], rows),
+        _to_rows(end[:, 0], rows), _to_rows(end[:, 1], rows),
+        _to_rows(end[:, 2], rows),
+        _to_rows(active.astype(jnp.int32), rows),
+    ]
+    grid = rows // block_rows
+    vspec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec((1, max(n_leaves, 1)), lambda i: (0, 0),
+                        memory_space=pltpu.SMEM)
+    k1 = functools.partial(_occl_phase1_kernel, prog.fn_c, treedef,
+                           n_leaves, min(phase1_steps, max_steps),
+                           eps_c, eps_l)
+    out1, t1, res1 = pl.pallas_call(
+        k1, grid=(grid,),
+        in_specs=[smem] + [vspec] * 7,
+        out_specs=(vspec, vspec, vspec),
+        out_shape=(jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+                   jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((rows, LANES), jnp.int32)),
+        interpret=interpret,
+    )(params, *args)
+    out1 = out1.reshape(-1)[:n]
+    t1 = t1.reshape(-1)[:n]
+    resolved = res1.reshape(-1)[:n] != 0
+    if phase1_steps >= max_steps:
+        return out1 != 0
+
+    # Stable partition: unresolved lanes first (same O(N) scheme as
+    # integrator.compact); stability keeps whatever spatial coherence
+    # the stragglers share.
+    unresolved = jnp.logical_not(resolved)
+    ur = jnp.cumsum(unresolved.astype(jnp.int32)) - 1
+    n_ur = ur[-1] + 1
+    rr = jnp.cumsum(resolved.astype(jnp.int32)) - 1
+    dest = jnp.where(unresolved, ur, n_ur + rr)
+    order = jnp.zeros((n,), jnp.int32).at[dest].set(
+        jnp.arange(n, dtype=jnp.int32))
+
+    s2 = jnp.take(start, order, axis=0)
+    e2 = jnp.take(end, order, axis=0)
+    tin = jnp.take(t1, order)
+    act2 = jnp.take(unresolved, order)
+
+    args2 = [
+        _to_rows(s2[:, 0], rows), _to_rows(s2[:, 1], rows),
+        _to_rows(s2[:, 2], rows),
+        _to_rows(e2[:, 0], rows), _to_rows(e2[:, 1], rows),
+        _to_rows(e2[:, 2], rows),
+        _to_rows(tin, rows),
+        _to_rows(act2.astype(jnp.int32), rows),
+    ]
+    k2 = functools.partial(_occl_resume_kernel, prog.fn_c, treedef,
+                           n_leaves, max_steps - phase1_steps,
+                           eps_c, eps_l)
+    out2 = pl.pallas_call(
+        k2, grid=(grid,),
+        in_specs=[smem] + [vspec] * 8,
+        out_specs=vspec,
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        interpret=interpret,
+    )(params, *args2)
+    out2 = out2.reshape(-1)[:n]
+    hit2 = jnp.zeros((n,), jnp.int32).at[order].set(out2)
+    return jnp.where(resolved, out1, hit2) != 0
+
+
 def march_occlusion(prog: SdfProgram, start, end, detail_scale: float,
                     max_steps: int, active,
                     block_rows: int = DEFAULT_BLOCK_ROWS,

@@ -64,6 +64,25 @@ class TestMarchPallasInterpret:
         # identical visibility on a well-behaved budget
         assert (np.asarray(a) == np.asarray(plain)).mean() > 0.97
 
+    def test_phased_occlusion_bit_identical(self):
+        """Two-phase straggler-packed occlusion must be bit-identical to
+        the single-phase kernel for every phase split (the per-lane step
+        sequence is unchanged; only block membership differs)."""
+        prog = sdf.mandelbox(6, 1.0, 0.01, 1.9, -2.1)
+        rng = np.random.default_rng(9)
+        n = 700
+        start = jnp.asarray(rng.uniform(-2, 2, (n, 3)).astype(np.float32))
+        end = jnp.asarray(rng.uniform(-2, 2, (n, 3)).astype(np.float32))
+        active = jnp.asarray(rng.uniform(size=n) > 0.15)
+        ref = march.march_occlusion(prog, start, end, 0.5, 100,
+                                    active=active)
+        for s1 in (1, 16, 99, 100, 150):
+            out = march_pallas.march_occlusion_phased(
+                prog, start, end, 0.5, 100, active=active,
+                phase1_steps=s1, interpret=True)
+            np.testing.assert_array_equal(np.asarray(out), np.asarray(ref),
+                                          err_msg=f"phase1_steps={s1}")
+
     def test_inactive_lanes_miss(self):
         prog = sdf.sphere(1.0)
         o = jnp.asarray([[0.0, 0.0, 3.0]] * 4)

@@ -59,6 +59,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "wavefront across chips; 'frames' deals whole "
                         "frames out one-per-chip (BASELINE config #5); "
                         "'auto' picks frames when rendering 2+ frames")
+    p.add_argument("--coordinator", default=None,
+                   help="jax.distributed coordinator address "
+                        "(host:port) for the multi-process frame farm")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="total process count of the frame farm; frames "
+                        "are dealt round-robin across processes (DCN "
+                        "stays out of the pixel path entirely)")
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--mis", action="store_true",
                    help="MIS-weight paired light/emissive emitters "
                         "(removes the reference's co-located double "
@@ -91,6 +99,13 @@ def main(argv=None) -> int:
                       _os.environ.get("RAYN_JAX_CACHE",
                                       "/tmp/rayn_jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    if args.num_processes and args.num_processes > 1:
+        # Must run before anything touches the XLA backend (scene
+        # building below creates device arrays).
+        from rayn_tpu.parallel import distributed
+        distributed.init(coordinator_address=args.coordinator,
+                         num_processes=args.num_processes,
+                         process_id=args.process_id)
     from rayn_tpu.config import RenderSettings
     from rayn_tpu.ops import filters as filter_ops
     from rayn_tpu.render import film as film_mod
@@ -144,9 +159,6 @@ def main(argv=None) -> int:
                 else contextlib.nullcontext())
 
     frame_list = list(range(args.frames[0], args.frames[1]))
-    use_frame_chips = args.multichip and (
-        args.multichip_mode == "frames"
-        or (args.multichip_mode == "auto" and len(frame_list) >= 2))
 
     def save_frame(frame, film, secs):
         n_samples = res[0] * res[1] * args.spp
@@ -160,6 +172,27 @@ def main(argv=None) -> int:
             transparent_background=args.transparent_background)
         for p in paths:
             print(f"Saved {p}", file=sys.stderr)
+
+
+    if args.num_processes and args.num_processes > 1:
+        # Multi-process frame farm: this process renders its round-robin
+        # share and saves its own PNGs (rayn_tpu.parallel.distributed;
+        # jax.distributed was initialized at the top of main).
+        from rayn_tpu.parallel import distributed
+        with trace_cm:
+            start = time.perf_counter()
+            out = distributed.render_frames_multiprocess(
+                data, static, settings, camera, frame_list,
+                per_chip=args.multichip, filter=filt,
+                frame_rate=args.frame_rate, shutter_speed=args.shutter)
+            secs = time.perf_counter() - start
+            for frame, film in out:
+                save_frame(frame, film, secs / max(1, len(out)))
+        return 0
+
+    use_frame_chips = args.multichip and (
+        args.multichip_mode == "frames"
+        or (args.multichip_mode == "auto" and len(frame_list) >= 2))
 
     if use_frame_chips:
         from rayn_tpu.parallel import sharding

@@ -211,7 +211,7 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
             shadow_active.append(worth_it)
             shadow_contrib.append(contrib)
 
-    if static.has_scattering and static.n_lights > 0:
+    if static.has_scattering and static.n_lights > 0 and s.volume_marches:
         vm_correction = static.n_lights / s.nee_light_samples / s.volume_marches
         for m in range(s.volume_marches):
             u_dist = rng.sample_1d(s, tables, rng.set1d_vol_dist(s, depth, m),

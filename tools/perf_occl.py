@@ -79,14 +79,23 @@ def build_segments(n):
     return start, end, active, static.sdf_program(data), settings
 
 
-def timeit(fn, *args, reps=5):
+def timeit(fn, *args, reps=8):
+    """Amortized timing: dispatch `reps` async calls, sync once on the
+    last result (device executes in dispatch order), subtract the
+    1-dispatch baseline. A per-rep scalar readback costs a ~25-35 ms
+    axon-tunnel roundtrip that swamps ms-scale kernels."""
     out = fn(*args)  # compile
-    _ = float(out.reshape(-1)[-1])  # device-side slice, scalar readback
+    _ = float(out.reshape(-1)[-1])
+    t0 = time.perf_counter()
+    out = fn(*args)
+    _ = float(out.reshape(-1)[-1])
+    t1 = time.perf_counter() - t0  # 1 rep incl. tunnel roundtrip
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-        _ = float(out.reshape(-1)[-1])
-    return (time.perf_counter() - t0) / reps, out
+    _ = float(out.reshape(-1)[-1])
+    tk = time.perf_counter() - t0
+    return max((tk - t1) / (reps - 1), 1e-9), out
 
 
 def step_stats(prog, start, end, active, detail, max_steps):

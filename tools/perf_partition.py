@@ -20,6 +20,17 @@ def main():
     data1 = jax.random.normal(key, (N,))
     print(f"device={jax.devices()[0].device_kind} n={N}")
 
+    # null op: what one dispatch+readback roundtrip costs on its own
+    import time as _time
+    nul = jax.jit(lambda x: x[:8] + 1.0)
+    _ = float(nul(data1)[0])
+    t0 = _time.perf_counter()
+    for _ in range(5):
+        _ = float(nul(data1)[0])
+    print(f"tunnel roundtrip:         "
+          f"{(_time.perf_counter()-t0)/5*1e3:8.2f} ms (not subtracted "
+          f"below; timeit subtracts via slope)")
+
     # scatter-based stable partition (current integrator.compact scheme)
     @jax.jit
     def scatter_partition(flag):
@@ -99,8 +110,7 @@ def main():
             jnp.arange(rows, dtype=jnp.int32))
         return dest, order
 
-    dt, (dest_r, order_r) = timeit(
-        lambda f: row_partition(f)[1], rflag)
+    dt, _ = timeit(lambda f: row_partition(f)[1], rflag)
     dest_r, order_r = row_partition(rflag)
     print(f"row partition ({rows}):    {dt*1e3:8.2f} ms")
 

@@ -46,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--transparent-background", action="store_true")
     p.add_argument("--checkpoint", default=None,
                    help="checkpoint file for preemptible rendering")
+    p.add_argument("--retries", type=int, default=0,
+                   help="retry a failed frame this many times; with "
+                        "--checkpoint each retry resumes at the last "
+                        "persisted pass (failure detection + elastic "
+                        "resume)")
     p.add_argument("--rays-per-pass", type=int, default=1 << 20)
     p.add_argument("--max-marches", type=int, default=256)
     p.add_argument("--no-pallas", action="store_true")
@@ -216,8 +221,9 @@ def main(argv=None) -> int:
                     data, static, settings, camera, frame=frame,
                     time_range=(t0, t0 + args.shutter), filter=filt)
             else:
-                film = renderer.render_frame(
+                film = renderer.render_frame_resilient(
                     data, static, settings, camera, frame=frame,
+                    retries=args.retries,
                     time_range=(t0, t0 + args.shutter), filter=filt,
                     checkpoint_path=args.checkpoint, progress=progress)
             jax.block_until_ready(film)

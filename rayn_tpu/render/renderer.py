@@ -97,6 +97,37 @@ def render_pass(film: film_mod.Film, data: SceneData, static: SceneStatic,
         samples=film.samples.at[pixel].add(in_range.astype(jnp.float32)))
 
 
+# Test-only fault injection point: called with the pass index after every
+# completed pass (tests/test_checkpoint_cli.py uses it to kill a render
+# mid-frame and exercise render_frame_resilient's checkpoint resume).
+_FAIL_HOOK = None
+
+
+def render_frame_resilient(data: SceneData, static: SceneStatic,
+                           settings: RenderSettings, camera: Camera,
+                           retries: int = 2, **kwargs) -> film_mod.Film:
+    """render_frame with failure detection + elastic resume (SURVEY.md
+    §5; no reference counterpart — the reference panics on any error,
+    src/main.rs unwraps). A failed attempt is retried up to `retries`
+    times; when a checkpoint_path is given, each retry resumes at the
+    last persisted pass instead of ray 0, so a preempted or crashed
+    render loses at most `checkpoint_every` passes of work."""
+    import sys as _sys
+    for attempt in range(retries + 1):
+        try:
+            return render_frame(data, static, settings, camera, **kwargs)
+        except KeyboardInterrupt:
+            raise
+        except Exception as e:
+            if attempt == retries:
+                raise
+            where = ("resuming from checkpoint"
+                     if kwargs.get("checkpoint_path")
+                     else "restarting the frame")
+            print(f"render attempt {attempt + 1} failed ({e!r}); {where}",
+                  file=_sys.stderr)
+
+
 def render_frame(data: SceneData, static: SceneStatic,
                  settings: RenderSettings, camera: Camera,
                  frame: int = 1, time_range: tuple[float, float] = None,
@@ -142,6 +173,8 @@ def render_frame(data: SceneData, static: SceneStatic,
         film = render_pass(film, data, static, settings, tables, camera,
                            fis_table, jnp.int32(p * pass_size), pass_size,
                            t0, t1)
+        if _FAIL_HOOK is not None:
+            _FAIL_HOOK(p)
         # Synchronize every pass: a scalar readback costs ~1 ms, while
         # letting donated-film passes queue up asynchronously measured
         # ~5x slower per pass under deep queues (axon runtime).

@@ -118,3 +118,54 @@ class TestCli:
         assert tuple(args.frames) == (1, 2)
         assert args.filter == "blackman_harris"
         assert args.filter_radius == 1.5
+
+
+class TestResilient:
+    def test_retry_resumes_from_checkpoint(self, tmp_path):
+        """Failure detection + elastic resume: a render killed mid-frame
+        is retried and resumes at the last persisted pass, producing the
+        exact image of an uninterrupted render."""
+        s = small()  # 16*12*4 = 768 rays, rays_per_pass=128 -> 6 passes
+        data, static, camera = presets.spheres_scene(resolution=(16, 12))
+        ref = renderer.render_frame(data, static, s, camera, frame=1)
+
+        calls = {"n": 0, "resumed_at": None}
+
+        def bomb(p):
+            calls["n"] += 1
+            if calls["n"] == 3:  # die after completing pass index 2
+                raise RuntimeError("injected preemption")
+            if calls["n"] == 4:
+                calls["resumed_at"] = p
+
+        path = str(tmp_path / "ck.npz")
+        renderer._FAIL_HOOK = bomb
+        try:
+            film = renderer.render_frame_resilient(
+                data, static, s, camera, frame=1, retries=1,
+                checkpoint_path=path, checkpoint_every=1)
+        finally:
+            renderer._FAIL_HOOK = None
+
+        # the retry resumed at the failed pass, not at ray 0
+        assert calls["resumed_at"] == 2, calls
+        np.testing.assert_array_equal(np.asarray(film.samples),
+                                      np.asarray(ref.samples))
+        np.testing.assert_allclose(np.asarray(film.color),
+                                   np.asarray(ref.color), atol=1e-6)
+
+    def test_retries_exhausted_reraises(self):
+        s = small()
+        data, static, camera = presets.spheres_scene(resolution=(16, 12))
+
+        def always(p):
+            raise RuntimeError("hard failure")
+
+        renderer._FAIL_HOOK = always
+        try:
+            import pytest
+            with pytest.raises(RuntimeError, match="hard failure"):
+                renderer.render_frame_resilient(
+                    data, static, s, camera, frame=1, retries=2)
+        finally:
+            renderer._FAIL_HOOK = None

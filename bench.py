@@ -102,6 +102,11 @@ def main():
     ap.add_argument("--relax", type=float, default=1.0,
                     help="sphere-trace over-relaxation factor")
     ap.add_argument("--rays-per-pass", type=int, default=1 << 20)
+    ap.add_argument("--sync-every", type=int, default=1,
+                    help="scalar-readback sync cadence in passes. 1 = "
+                         "the proven-safe default; the axon tunnel "
+                         "roundtrip is ~44 ms, so modest batching can "
+                         "recover a few %% if shallow queues stay fast")
     ap.add_argument("--compact", action="store_true",
                     help="compact the wavefront between bounces")
     ap.add_argument("--config", default="fractal",
@@ -175,14 +180,19 @@ def main():
     # ~90-deep queue), so this is also the fast path.
     done = rays_per_pass
     timed_rays = 0
+    queued = 0
     t_start = time.perf_counter()
     while done < total and (time.perf_counter() - t_start) < args.max_seconds:
         film = renderer.render_pass(film, data, static, settings, tables,
                                     camera, fis, jnp.int32(done),
                                     rays_per_pass, t0c, t1c)
-        sync(film)
+        queued += 1
+        if queued >= args.sync_every:
+            sync(film)
+            queued = 0
         done += rays_per_pass
         timed_rays += rays_per_pass
+    sync(film)
     elapsed = time.perf_counter() - t_start
 
     if timed_rays == 0:  # single-pass workload: fall back to the warm pass

@@ -32,8 +32,9 @@ from rayn_tpu.scene import presets
 from rayn_tpu.utils import rng, vecmath
 
 
-def build_segments(n):
-    """One bounce's worth of NEE segments from the real scene."""
+def build_segments(n, kind="nee"):
+    """One bounce's worth of NEE or volume shadow segments from the
+    real scene (kind in {"nee", "volume"})."""
     res = (1024, 1024)
     settings = RenderSettings(resolution=res, spp=4, rays_per_pass=n)
     data, static, camera = presets.default_scene(resolution=res)
@@ -65,13 +66,21 @@ def build_segments(n):
         lr = small_gather(data.light_radii[:, None], lidx)[:, 0]
         lem = small_gather(data.light_emission, lidx)
         u2 = jax.random.uniform(k[1], (n, 2))
-        end, li, pdf = lights.sample_cone(u2, lp, lr, info.point, lem)
-        wi = vecmath.normalize(end - info.point)
-        start = info.point + info.normal * (
-            jnp.copysign(1.0, vecmath.dot(info.normal, wi))
-            * info.offset_by)[:, None]
-        ndl = vecmath.dot(info.normal, wi)
-        active = hit.valid & (ndl > 0.0)
+        if kind == "volume":
+            u_dist = jax.random.uniform(jax.random.PRNGKey(5), (n,))
+            vol_dist, _ = lights.sample_equi_angular(
+                u_dist, lp, origin, direction, hit.t)
+            start = origin + vol_dist[:, None] * direction
+            end, li, pdf = lights.sample_cone(u2, lp, lr, start, lem)
+            active = in_range
+        else:
+            end, li, pdf = lights.sample_cone(u2, lp, lr, info.point, lem)
+            wi = vecmath.normalize(end - info.point)
+            start = info.point + info.normal * (
+                jnp.copysign(1.0, vecmath.dot(info.normal, wi))
+                * info.offset_by)[:, None]
+            ndl = vecmath.dot(info.normal, wi)
+            active = hit.valid & (ndl > 0.0)
         return start, end, active
 
     start, end, active = gen()
@@ -163,9 +172,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1 << 20)
     ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--kind", choices=("nee", "volume"), default="nee")
     args = ap.parse_args()
 
-    start, end, active, prog, settings = build_segments(args.n)
+    start, end, active, prog, settings = build_segments(args.n, args.kind)
     detail = settings.sdf_detail_scale
     frac = float(np.asarray(active).mean())
     print(f"n={args.n} active={frac:.3f} device={jax.devices()[0].device_kind}")

@@ -48,9 +48,16 @@ def time_pass(label, settings, data, static, camera, reps=3):
 
 
 def main():
+    import os
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("RAYN_JAX_CACHE",
+                                     "/tmp/rayn_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1 << 20)
     ap.add_argument("--res", type=int, default=512)
+    ap.add_argument("--probes-only", action="store_true",
+                    help="baseline + monkeypatched occlusion probes only")
     args = ap.parse_args()
 
     res = (args.res, args.res)
@@ -61,6 +68,12 @@ def main():
 
     print(f"device={jax.devices()[0].device_kind} rays/pass={args.n}")
     full = time_pass("full fractal (baseline)", base, data, static, camera)
+    if not args.probes_only:
+        _run_sweep(base, data, static, camera, dataN, staticN, cameraN)
+    _run_probes(base, full, data, static, camera)
+
+
+def _run_sweep(base, data, static, camera, dataN, staticN, cameraN):
     time_pass("occl block_rows=128",
               dataclasses.replace(base, pallas_occl_block_rows=128),
               data, static, camera)
@@ -80,19 +93,39 @@ def main():
               dataclasses.replace(base, volume_marches=0),
               data, static, camera)
     time_pass("no volume scene", base, dataN, staticN, cameraN)
-    time_pass("relax=1.4",
-              dataclasses.replace(base, march_relaxation=1.4),
+
+
+def _run_probes(base, full, data, static, camera):
+    import dataclasses
+    # --- monkeypatched probes (isolate occlusion-stage components) ---
+    from rayn_tpu.ops import intersect as isect
+    real_occl = isect.test_occluded
+
+    def no_occl(data_, static_, settings_, start, end, time_, active):
+        import jax.numpy as jnp
+        return jnp.ones(start.shape[0], jnp.float32)
+
+    # distinct filter_table_size forces a fresh trace so the
+    # monkeypatch isn't hidden by the render_pass jit cache
+    isect.test_occluded = no_occl
+    time_pass("NO occlusion (build+shade+film only)",
+              dataclasses.replace(base, filter_table_size=511),
               data, static, camera)
-    time_pass("occl_phase1_steps=16 (two-phase occl)",
-              dataclasses.replace(base, occl_phase1_steps=16),
+
+    def spheres_only(data_, static_, settings_, start, end, time_, active):
+        import jax.numpy as jnp_
+        from rayn_tpu.ops import spheres as sphere_ops
+        from rayn_tpu.scene.scene import sphere_centers_at
+        centers = sphere_centers_at(data_, time_)
+        occ = sphere_ops.occluded(start, end, centers, data_.sphere_radii)
+        return jnp_.where(jnp_.any(occ, axis=1), 0.0, 1.0)
+
+    isect.test_occluded = spheres_only
+    time_pass("sphere-only occlusion (no SDF shadow march)",
+              dataclasses.replace(base, filter_table_size=513),
               data, static, camera)
-    time_pass("jnp occlusion (use_pallas_occlusion=0)",
-              dataclasses.replace(base, use_pallas_occlusion=False),
-              data, static, camera)
-    time_pass("jnp march (use_pallas=0)",
-              dataclasses.replace(base, use_pallas=False,
-                                  use_pallas_occlusion=False),
-              data, static, camera)
+    isect.test_occluded = real_occl
+
     print(f"baseline {full*1e3:.1f} ms")
 
 

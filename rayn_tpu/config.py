@@ -118,7 +118,17 @@ class RenderSettings:
     # blocks exit after one step). 0 disables (single-phase kernel).
     # Bit-identical results either way; a per-block early exit is
     # otherwise bounded by the slowest lane in each 8K-lane block.
+    # Measured a net loss on v5e (per-lane gathers ~7 ms/M); superseded
+    # by occl_sort_steps.
     occl_phase1_steps: int = 0
+
+    # Sorted two-phase occlusion march (march_occlusion_sorted): march
+    # everyone this many steps, payload-sort the queue by each lane's
+    # predicted remaining steps (XLA TPU sorts carry payload columns at
+    # ~2 ms/M vs 7 ms/M per gather), finish in step-homogeneous blocks,
+    # un-permute with one 2-column sort. Bit-identical results; recovers
+    # part of the ~4x block-divergence waste. 0 disables.
+    occl_sort_steps: int = 0
 
     # Rays per Pallas march block (block_rows * 128; min 8 rows). Smaller
     # blocks give finer-grained early exit; larger blocks amortize grid

@@ -110,7 +110,12 @@ def fis_sample(table: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     idx_full = ua * (n - 1)
     idx = jnp.floor(idx_full).astype(jnp.int32)
     t = idx_full - idx.astype(jnp.float32)
-    return mult * (table[idx] * (1.0 - t) + table[idx + 1] * t)
+    # One [N, 2] gather of the (lower, upper) lerp endpoints instead of
+    # two [N] gathers: TPU per-lane gathers measured ~7.7 ms per 1M rays
+    # vs ~4 ms for a paired 2D gather (tools/perf_partition.py).
+    pairs = jnp.stack([table[:-1], table[1:]], axis=1)  # [n-1, 2]
+    both = jnp.take(pairs, idx, axis=0)                 # [N, 2]
+    return mult * (both[..., 0] * (1.0 - t) + both[..., 1] * t)
 
 
 FILTERS = {

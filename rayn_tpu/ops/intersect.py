@@ -123,6 +123,13 @@ def test_occluded(data: SceneData, static: SceneStatic,
         prog = static.sdf_program(data)
         import functools
         if (settings.use_pallas_occlusion and _pallas_ok(settings, prog)
+                and settings.occl_sort_steps > 0
+                and settings.march_relaxation == 1.0):
+            occl_fn = functools.partial(
+                march_pallas.march_occlusion_sorted,
+                phase1_steps=settings.occl_sort_steps,
+                block_rows=settings.pallas_occl_block_rows)
+        elif (settings.use_pallas_occlusion and _pallas_ok(settings, prog)
                 and settings.occl_phase1_steps > 0
                 and settings.march_relaxation == 1.0):
             occl_fn = functools.partial(

@@ -559,6 +559,109 @@ def march_occlusion_phased(prog: SdfProgram, start, end,
     return jnp.where(resolved, out1, hit2) != 0
 
 
+def march_occlusion_sorted(prog: SdfProgram, start, end,
+                           detail_scale: float, max_steps: int, active,
+                           phase1_steps: int = 8,
+                           block_rows: int = DEFAULT_BLOCK_ROWS,
+                           interpret: bool = False):
+    """Occlusion march with step-homogeneous blocks via a payload sort.
+
+    The per-block early exit is worthless on raw shadow queues: the
+    step-count distribution is flat (p50≈20-28, p99≈100) and stragglers
+    are scattered, so every 8K-lane block runs to ~the cap while the
+    useful mean is ~4x lower (measured, BASELINE.md round-2 notes).
+    Per-lane gathers are too slow to pack with (6-8 ms/M) — but XLA TPU
+    *sorts* carry payload columns nearly free (~2 ms/M for 9 columns).
+
+    So: march everyone `phase1_steps` steps (work that counts toward the
+    budget either way), estimate each unresolved lane's remaining steps
+    from its marching speed so far, payload-sort the queue by that key so
+    phase-2 blocks contain lanes of similar cost, finish densely, and
+    un-permute the verdicts with one 2-column sort. The per-lane step
+    sequence is untouched — results are bit-identical to
+    march_occlusion; only block membership (performance) changes.
+    """
+    n = start.shape[0]
+    block_rows = max(block_rows, 8)
+    block = block_rows * LANES
+    n_pad = -(-n // block) * block
+    rows = n_pad // LANES
+
+    params, treedef, n_leaves = _flatten_params(prog.params)
+    eps_c = 1e-4 * detail_scale
+    eps_l = 1e-5 * detail_scale
+    args = [
+        _to_rows(start[:, 0], rows), _to_rows(start[:, 1], rows),
+        _to_rows(start[:, 2], rows),
+        _to_rows(end[:, 0], rows), _to_rows(end[:, 1], rows),
+        _to_rows(end[:, 2], rows),
+        _to_rows(active.astype(jnp.int32), rows),
+    ]
+    grid = rows // block_rows
+    vspec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec((1, max(n_leaves, 1)), lambda i: (0, 0),
+                        memory_space=pltpu.SMEM)
+    k1 = functools.partial(_occl_phase1_kernel, prog.fn_c, treedef,
+                           n_leaves, min(phase1_steps, max_steps),
+                           eps_c, eps_l)
+    out1, t1, res1 = pl.pallas_call(
+        k1, grid=(grid,),
+        in_specs=[smem] + [vspec] * 7,
+        out_specs=(vspec, vspec, vspec),
+        out_shape=(jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+                   jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((rows, LANES), jnp.int32)),
+        interpret=interpret,
+    )(params, *args)
+    out1 = out1.reshape(-1)[:n]
+    t1 = t1.reshape(-1)[:n]
+    resolved = res1.reshape(-1)[:n] != 0
+    if phase1_steps >= max_steps:
+        return out1 != 0
+
+    # Remaining-step predictor: distance left over speed so far. Slow
+    # creep (small t after phase 1) predicts many remaining steps.
+    seg = end - start
+    max_dist = jnp.sqrt(jnp.sum(seg * seg, axis=-1))
+    speed = jnp.maximum(t1, 1e-20) / float(phase1_steps)
+    predicted = (max_dist - t1) / speed
+    # resolved lanes cluster at the cheap end (phase 2 skips them after
+    # one vector op)
+    key = jnp.where(resolved, -1.0, predicted.astype(jnp.float32))
+
+    unresolved = jnp.logical_not(resolved)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    sorted_ops = jax.lax.sort(
+        [key, start[:, 0], start[:, 1], start[:, 2],
+         end[:, 0], end[:, 1], end[:, 2],
+         t1, unresolved.astype(jnp.int32), out1, iota],
+        num_keys=1, is_stable=False)
+    (_, sx, sy, sz, ex, ey, ez, t1s, acts, out1s, iotas) = sorted_ops
+
+    args2 = [
+        _to_rows(sx, rows), _to_rows(sy, rows), _to_rows(sz, rows),
+        _to_rows(ex, rows), _to_rows(ey, rows), _to_rows(ez, rows),
+        _to_rows(t1s, rows), _to_rows(acts, rows),
+    ]
+    k2 = functools.partial(_occl_resume_kernel, prog.fn_c, treedef,
+                           n_leaves, max_steps - phase1_steps,
+                           eps_c, eps_l)
+    out2 = pl.pallas_call(
+        k2, grid=(grid,),
+        in_specs=[smem] + [vspec] * 8,
+        out_specs=vspec,
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        interpret=interpret,
+    )(params, *args2)
+    out2 = out2.reshape(-1)[:n]
+    merged = jnp.where(acts != 0, out2, out1s)
+    # un-permute: iotas is a permutation of arange(n); sorting by it
+    # restores original lane order
+    _, out = jax.lax.sort_key_val(iotas, merged, is_stable=False)
+    return out != 0
+
+
 def march_occlusion(prog: SdfProgram, start, end, detail_scale: float,
                     max_steps: int, active,
                     block_rows: int = DEFAULT_BLOCK_ROWS,

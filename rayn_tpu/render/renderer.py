@@ -83,9 +83,25 @@ def render_pass(film: film_mod.Film, data: SceneData, static: SceneStatic,
     hps_abs0, hps_lin0 = camera.half_pixel_size_coeffs()
     state = init_state(origin, direction, time, pixel, sample_idx, in_range)
     state = trace(data, static, settings, tables, state, hps_abs0, hps_lin0)
-    # Channels are splatted via the *state's* pixel ids (compaction may
-    # have permuted lanes); the per-pixel sample count uses the original
-    # order (every in-range ray counts once regardless of its fate).
+    # When the pass covers whole pixels in pixel-major order (pass sizes
+    # are spp-aligned and compaction hasn't permuted lanes), the film
+    # scatter-add collapses to a reshape-sum + slice add — ~70 ms/pass
+    # cheaper on v5e. Out-of-range tail lanes carry zero contributions
+    # either way (alive starts False for them), so the aligned path's
+    # row addressing is safe.
+    if not settings.compact_bounces and pass_size % settings.spp == 0:
+        pixel0 = (pass_start // settings.spp).astype(jnp.int32)
+        return film_mod.splat_aligned(
+            film, pixel0,
+            color=state.color_out,
+            alpha=state.alpha_out,
+            background=state.bg_out,
+            normal=state.normal_out,
+            count=in_range.astype(jnp.float32),
+            spp=settings.spp)
+    # Fallback: channels splatted via the *state's* pixel ids (compaction
+    # may have permuted lanes); the per-pixel sample count uses the
+    # original order (every in-range ray counts once regardless of fate).
     film = film_mod.splat(
         film, state.pixel,
         color=state.color_out,

@@ -64,6 +64,48 @@ class TestFilm:
         np.testing.assert_allclose(res.alpha[0, 1], 0.5, atol=1e-6)
         np.testing.assert_allclose(res.color[1, 1], [0, 0, 2.0], atol=1e-6)
 
+    def test_splat_aligned_matches_splat(self):
+        """Pass-aligned splat == generic scatter-add splat (up to f32
+        summation order) when the pass covers whole pixels in pixel-major
+        order, including a tail pass that extends past the film end with
+        zeroed out-of-range lanes."""
+        rng = np.random.default_rng(3)
+        n_px, spp = 10, 4
+        for pixel0, n in ((2, 24), (8, 16)):  # interior + overhanging tail
+            rows = n // spp
+            pixel = pixel0 + np.arange(n) // spp
+            in_range = pixel < n_px
+            color = rng.uniform(size=(n, 3)).astype(np.float32)
+            color[~in_range] = 0.0
+            alpha = rng.uniform(size=n).astype(np.float32)
+            alpha[~in_range] = 0.0
+            bg = rng.uniform(size=(n, 3)).astype(np.float32)
+            bg[~in_range] = 0.0
+            nrm = rng.uniform(size=(n, 3)).astype(np.float32)
+            nrm[~in_range] = 0.0
+            count = in_range.astype(np.float32)
+
+            base = film_mod.Film(
+                color=jnp.asarray(rng.uniform(size=(n_px, 3)), jnp.float32),
+                alpha=jnp.asarray(rng.uniform(size=n_px), jnp.float32),
+                background=jnp.asarray(rng.uniform(size=(n_px, 3)),
+                                       jnp.float32),
+                normal=jnp.asarray(rng.uniform(size=(n_px, 3)), jnp.float32),
+                samples=jnp.asarray(rng.uniform(size=n_px), jnp.float32))
+            a = film_mod.splat(base, jnp.asarray(np.minimum(pixel, n_px - 1),
+                                                 jnp.int32),
+                               jnp.asarray(color), jnp.asarray(alpha),
+                               jnp.asarray(bg), jnp.asarray(nrm),
+                               jnp.asarray(count))
+            b = film_mod.splat_aligned(base, jnp.int32(pixel0),
+                                       jnp.asarray(color), jnp.asarray(alpha),
+                                       jnp.asarray(bg), jnp.asarray(nrm),
+                                       jnp.asarray(count), spp)
+            for fa, fb in zip(a, b):
+                np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
+                                           atol=2e-6,
+                                           err_msg=f"pixel0={pixel0}")
+
     def test_save_channels(self, tmp_path):
         f = film_mod.new_film(16)
         pixel = jnp.arange(16, dtype=jnp.int32)

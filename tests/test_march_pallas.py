@@ -83,6 +83,26 @@ class TestMarchPallasInterpret:
             np.testing.assert_array_equal(np.asarray(out), np.asarray(ref),
                                           err_msg=f"phase1_steps={s1}")
 
+    def test_sorted_occlusion_bit_identical(self):
+        """Predictor-sorted occlusion must be bit-identical to the
+        single-phase kernel for every phase split: the sort only changes
+        which lanes share a block (performance), never a lane's step
+        sequence, and the un-permute restores original order exactly."""
+        prog = sdf.mandelbox(6, 1.0, 0.01, 1.9, -2.1)
+        rng = np.random.default_rng(11)
+        n = 700
+        start = jnp.asarray(rng.uniform(-2, 2, (n, 3)).astype(np.float32))
+        end = jnp.asarray(rng.uniform(-2, 2, (n, 3)).astype(np.float32))
+        active = jnp.asarray(rng.uniform(size=n) > 0.15)
+        ref = march.march_occlusion(prog, start, end, 0.5, 100,
+                                    active=active)
+        for s1 in (1, 8, 99, 100, 150):
+            out = march_pallas.march_occlusion_sorted(
+                prog, start, end, 0.5, 100, active=active,
+                phase1_steps=s1, interpret=True)
+            np.testing.assert_array_equal(np.asarray(out), np.asarray(ref),
+                                          err_msg=f"phase1_steps={s1}")
+
     def test_inactive_lanes_miss(self):
         prog = sdf.sphere(1.0)
         o = jnp.asarray([[0.0, 0.0, 3.0]] * 4)

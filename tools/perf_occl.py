@@ -225,6 +225,17 @@ def main():
         print(f"two-phase s1={s1:<3d}:         {dt*1e3:8.2f} ms  "
               f"match_pallas64={ok}")
 
+    for s1 in (4, 8, 16, 24):
+        f = jax.jit(lambda s, e, a, k=s1:
+                    march_pallas.march_occlusion_sorted(
+                        prog, s, e, detail, args.steps, active=a,
+                        phase1_steps=k, block_rows=64))
+        dt, out = timeit(f, start, end, active)
+        ok = np.array_equal(np.asarray(out), ref)
+        results[f"sorted{s1}"] = dt
+        print(f"sorted s1={s1:<3d}:            {dt*1e3:8.2f} ms  "
+              f"match_pallas64={ok}")
+
     best = min(results, key=results.get)
     print(f"best: {best} {results[best]*1e3:.2f} ms")
 

@@ -125,10 +125,21 @@ class RenderSettings:
     # Sorted two-phase occlusion march (march_occlusion_sorted): march
     # everyone this many steps, payload-sort the queue by each lane's
     # predicted remaining steps (XLA TPU sorts carry payload columns at
-    # ~2 ms/M vs 7 ms/M per gather), finish in step-homogeneous blocks,
-    # un-permute with one 2-column sort. Bit-identical results; recovers
-    # part of the ~4x block-divergence waste. 0 disables.
+    # ~1-3 ms/M vs 7 ms/M per gather), finish in step-homogeneous
+    # blocks, un-permute with one 2-column sort. Bit-identical results.
+    # Default OFF: a 16% win on synthetic single-segment batches, but a
+    # measured LOSS on the real captured in-situ queue (38 vs 24.5 ms at
+    # 3.1M lanes, s1 in 4-16) — in situ the plain kernel already runs at
+    # 7.9 ms/M (76% inactive lanes make block exits effective) and the
+    # speed-based remaining-steps predictor misclassifies soon-to-hit
+    # creeping lanes as stragglers. See BASELINE.md round-2 notes.
     occl_sort_steps: int = 0
+
+    # Sorted two-phase *primary* march (march_sorted): the occl_sort_steps
+    # scheme applied to closest-hit marching. 0 disables (same in-situ
+    # rationale as occl_sort_steps). Only used when march_relaxation ==
+    # 1.0 (the relaxed kernel carries extra state).
+    march_sort_steps: int = 0
 
     # Rays per Pallas march block (block_rows * 128; min 8 rows). Smaller
     # blocks give finer-grained early exit; larger blocks amortize grid

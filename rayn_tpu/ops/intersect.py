@@ -83,8 +83,15 @@ def closest_hit(data: SceneData, static: SceneStatic,
     if static.has_sdf:
         detail = settings.sdf_detail_scale
         prog = static.sdf_program(data)
-        if _pallas_ok(settings, prog):
-            import functools
+        import functools
+        if (_pallas_ok(settings, prog) and settings.march_sort_steps > 0
+                and settings.march_relaxation == 1.0):
+            def march_fn(*a, relax=1.0, **kw):
+                del relax  # sorted kernel is plain marching only (routed)
+                return march_pallas.march_sorted(
+                    *a, phase1_steps=settings.march_sort_steps,
+                    block_rows=settings.pallas_block_rows, **kw)
+        elif _pallas_ok(settings, prog):
             march_fn = functools.partial(
                 march_pallas.march, block_rows=settings.pallas_block_rows)
         else:

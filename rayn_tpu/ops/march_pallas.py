@@ -160,6 +160,89 @@ def march(prog: SdfProgram, origin, direction, t_max, eps_const: float,
     return out.reshape(-1)[:n]
 
 
+def march_sorted(prog: SdfProgram, origin, direction, t_max,
+                 eps_const: float, eps_abs, eps_lin, max_steps: int,
+                 active, phase1_steps: int = 8,
+                 block_rows: int = DEFAULT_BLOCK_ROWS,
+                 interpret: bool = False):
+    """Primary march with step-homogeneous phase-2 blocks via a payload
+    sort (the march twin of march_occlusion_sorted; see its docstring
+    for why sorting beats per-lane-gather packing on TPU). Bit-identical
+    to march(): the per-lane step sequence is untouched, only block
+    membership changes. Reference semantics: src/sdf.rs:59-83."""
+    n = origin.shape[0]
+    block_rows = max(block_rows, 8)
+    block = block_rows * LANES
+    n_pad = -(-n // block) * block
+    rows = n_pad // LANES
+
+    params, treedef, n_leaves = _flatten_params(prog.params)
+    args = [
+        _to_rows(origin[:, 0], rows), _to_rows(origin[:, 1], rows),
+        _to_rows(origin[:, 2], rows),
+        _to_rows(direction[:, 0], rows), _to_rows(direction[:, 1], rows),
+        _to_rows(direction[:, 2], rows),
+        _to_rows(t_max, rows), _to_rows(eps_abs, rows),
+        _to_rows(eps_lin, rows),
+        _to_rows(active.astype(jnp.int32), rows),
+    ]
+    grid = rows // block_rows
+    vspec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec((1, max(n_leaves, 1)), lambda i: (0, 0),
+                        memory_space=pltpu.SMEM)
+    k1 = functools.partial(_march_phase1_kernel, prog.fn_c, treedef,
+                           n_leaves, min(phase1_steps, max_steps), eps_const)
+    t1, res1 = pl.pallas_call(
+        k1, grid=(grid,),
+        in_specs=[smem] + [vspec] * 10,
+        out_specs=(vspec, vspec),
+        out_shape=(jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((rows, LANES), jnp.int32)),
+        interpret=interpret,
+    )(params, *args)
+    t1 = t1.reshape(-1)[:n]
+    resolved = res1.reshape(-1)[:n] != 0
+    if phase1_steps >= max_steps:
+        return t1
+
+    # Remaining-step predictor: distance left over marching speed so far
+    # (slow creep after phase 1 predicts many remaining steps).
+    speed = jnp.maximum(t1, 1e-20) / float(phase1_steps)
+    predicted = (t_max - t1) / speed
+    key = jnp.where(resolved, -1.0, predicted.astype(jnp.float32))
+
+    unresolved = jnp.logical_not(resolved)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    sorted_ops = jax.lax.sort(
+        [key, origin[:, 0], origin[:, 1], origin[:, 2],
+         direction[:, 0], direction[:, 1], direction[:, 2],
+         t_max, eps_abs, eps_lin, t1,
+         unresolved.astype(jnp.int32), iota],
+        num_keys=1, is_stable=False)
+    (_, ox, oy, oz, dx, dy, dz, tmx, eab, eli, t1s, acts, iotas) = sorted_ops
+
+    args2 = [
+        _to_rows(ox, rows), _to_rows(oy, rows), _to_rows(oz, rows),
+        _to_rows(dx, rows), _to_rows(dy, rows), _to_rows(dz, rows),
+        _to_rows(tmx, rows), _to_rows(eab, rows), _to_rows(eli, rows),
+        _to_rows(t1s, rows), _to_rows(acts, rows),
+    ]
+    k2 = functools.partial(_march_resume_kernel, prog.fn_c, treedef,
+                           n_leaves, max_steps - phase1_steps, eps_const)
+    t2 = pl.pallas_call(
+        k2, grid=(grid,),
+        in_specs=[smem] + [vspec] * 11,
+        out_specs=vspec,
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+        interpret=interpret,
+    )(params, *args2)
+    t2 = t2.reshape(-1)[:n]
+    merged = jnp.where(acts != 0, t2, t1s)
+    _, out = jax.lax.sort_key_val(iotas, merged, is_stable=False)
+    return out
+
+
 def _occl_kernel(fn_c, treedef, n_leaves, max_steps, eps_c, eps_l, relax,
                  params_ref, sx, sy, sz, ex, ey, ez, act, out):
     prm = _unflatten_params(params_ref, treedef, n_leaves)

@@ -103,6 +103,33 @@ class TestMarchPallasInterpret:
             np.testing.assert_array_equal(np.asarray(out), np.asarray(ref),
                                           err_msg=f"phase1_steps={s1}")
 
+    def test_sorted_march_bit_identical(self):
+        """Sorted primary march == single-phase Pallas march bit-for-bit
+        for every phase split (same per-lane step sequence, un-permute
+        exact). The jnp twin only agrees to ~1e-5 (different fusion of
+        the same arithmetic), matching test_matches_jnp_march_mandelbox."""
+        prog = sdf.mandelbox(6, 1.0, 0.01, 1.9, -2.1)
+        n = 500
+        o, d = _rays(n, seed=13)
+        t_max = jnp.full((n,), 50.0)
+        eps_abs = jnp.zeros((n,))
+        eps_lin = jnp.full((n,), 1e-3)
+        active = jnp.asarray(np.random.default_rng(14).uniform(size=n) > 0.2)
+        ref = march_pallas.march(prog, o, d, t_max, 2.5e-5, eps_abs,
+                                 eps_lin, max_steps=64, active=active,
+                                 interpret=True)
+        ref_jnp = march.march(prog, o, d, t_max, 2.5e-5, eps_abs, eps_lin,
+                              max_steps=64, active=active)
+        for s1 in (1, 8, 63, 64, 99):
+            out = march_pallas.march_sorted(
+                prog, o, d, t_max, 2.5e-5, eps_abs, eps_lin,
+                max_steps=64, active=active, phase1_steps=s1,
+                interpret=True)
+            np.testing.assert_array_equal(np.asarray(out), np.asarray(ref),
+                                          err_msg=f"phase1_steps={s1}")
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref_jnp),
+                                       rtol=1e-5, atol=1e-5)
+
     def test_inactive_lanes_miss(self):
         prog = sdf.sphere(1.0)
         o = jnp.asarray([[0.0, 0.0, 3.0]] * 4)

@@ -169,10 +169,18 @@ def step_stats(prog, start, end, active, detail, max_steps):
 
 
 def main():
+    import os
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("RAYN_JAX_CACHE",
+                                     "/tmp/rayn_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1 << 20)
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--kind", choices=("nee", "volume"), default="nee")
+    ap.add_argument("--skip-phased", action="store_true",
+                    help="skip the per-lane-gather phased sweep (a "
+                         "measured loser) and the 32/128-row sweep")
     args = ap.parse_args()
 
     start, end, active, prog, settings = build_segments(args.n, args.kind)
@@ -192,7 +200,7 @@ def main():
           f"occl={ref_jnp.mean():.4f}")
 
     ref = None  # pallas64 is the reference for bit-exactness
-    for rows in (32, 64, 128):
+    for rows in ((64,) if args.skip_phased else (32, 64, 128)):
         f = jax.jit(lambda s, e, a, r=rows: march_pallas.march_occlusion(
             prog, s, e, detail, args.steps, active=a, block_rows=r))
         dt, out = timeit(f, start, end, active)
@@ -204,7 +212,7 @@ def main():
         print(f"pallas rows={rows:<4d}          {dt*1e3:8.2f} ms  "
               f"agree_jnp={agree:.6f}")
 
-    for relax in (1.5,):
+    for relax in (() if args.skip_phased else (1.5,)):
         f = jax.jit(lambda s, e, a, rx=relax: march_pallas.march_occlusion(
             prog, s, e, detail, args.steps, active=a, block_rows=64,
             relax=rx))
@@ -214,7 +222,7 @@ def main():
         print(f"pallas relax={relax}:        {dt*1e3:8.2f} ms  "
               f"agree_pallas64={agree:.6f}")
 
-    for s1 in (8, 16, 24, 32):
+    for s1 in (() if args.skip_phased else (8, 16, 24, 32)):
         f = jax.jit(lambda s, e, a, k=s1:
                     march_pallas.march_occlusion_phased(
                         prog, s, e, detail, args.steps, active=a,

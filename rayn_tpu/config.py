@@ -135,6 +135,15 @@ class RenderSettings:
     # creeping lanes as stragglers. See BASELINE.md round-2 notes.
     occl_sort_steps: int = 0
 
+    # Fused per-bounce shadow pipeline (ops/shade_pallas.py): sampler,
+    # light pick, cone sampling, BSDF eval, transmittance, sphere
+    # occlusion, SDF shadow march and radiance accumulation in ONE Pallas
+    # kernel — the unfused path materializes ~40 XLA fusion results per
+    # bounce to HBM. Falls back automatically for scenes the kernel
+    # cannot host (animated lights/spheres, no component-form SDF,
+    # non-scalar SDF params, mis=True, relaxation, CPU backend).
+    use_fused_shadows: bool = False
+
     # Sorted two-phase *primary* march (march_sorted): the occl_sort_steps
     # scheme applied to closest-hit marching. 0 disables (same in-situ
     # rationale as occl_sort_steps). Only used when march_relaxation ==

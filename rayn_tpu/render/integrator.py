@@ -158,12 +158,47 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
         live[:, None], le * state.throughput * vol_trans[:, None], 0.0)
 
 
-    # 3 + 4. NEE and volume single scattering. All shadow segments of this
-    # bounce (L NEE + volume_marches*L equi-angular) are gathered first and
-    # tested in ONE batched occlusion call — this is the wavefront "shadow
-    # queue" (BASELINE.json north star): one big march kernel launch per
-    # bounce instead of 12, with contributions applied afterwards as
-    # contrib * visibility.
+    # 3 + 4. NEE and volume single scattering. Fast path: the whole
+    # shadow pipeline of this bounce fused into one Pallas kernel
+    # (ops/shade_pallas.py) — identical sampler streams and formulas,
+    # radiance delta out. Fallback: build all shadow segments (L NEE +
+    # volume_marches*L equi-angular) and test them in ONE batched
+    # occlusion call — the wavefront "shadow queue" (BASELINE.json north
+    # star): one big march kernel launch per bounce instead of 12, with
+    # contributions applied afterwards as contrib * visibility.
+    if static.has_sdf and static.n_lights > 0:
+        from rayn_tpu.ops import shade_pallas
+        prog_probe = static.sdf_program(data)
+        if shade_pallas.fused_ok(s, static, data, prog_probe):
+            vol_dists, vol_pdfs = [], []
+            if static.has_scattering and s.volume_marches:
+                for m in range(s.volume_marches):
+                    u_dist = rng.sample_1d(
+                        s, tables, rng.set1d_vol_dist(s, depth, m),
+                        state.sample_idx, state.pixel)
+                    vol_dists.append([])
+                    vol_pdfs.append([])
+                    for i in range(s.nee_light_samples):
+                        u_pick = rng.sample_1d(
+                            s, tables, rng.set1d_vol_pick(s, depth, m, i),
+                            state.sample_idx, state.pixel)
+                        lidx = _pick_lights(s, static, u_pick)
+                        lp = light_position_of(data, lidx, state.time)
+                        vdist, vpdf = lights.sample_equi_angular(
+                            u_dist, lp, state.origin, state.direction,
+                            hit.t)
+                        vol_dists[m].append(vdist)
+                        vol_pdfs[m].append(vpdf)
+            radiance = radiance + shade_pallas.shadow_radiance(
+                data, static, s, tables, depth,
+                info.point, info.normal, info.offset_by,
+                state.origin, state.direction, hit.t,
+                state.throughput, vol_trans, mat, live, receives,
+                state.sample_idx, state.pixel, vol_dists, vol_pdfs,
+                block_rows=s.pallas_occl_block_rows)
+            return _finish_bounce(data, static, s, tables, state, depth,
+                                  hit, info, mat, live, receives, wo,
+                                  vol_trans, radiance)
     shadow_starts, shadow_ends, shadow_active, shadow_contrib = [], [], [], []
 
     if static.n_lights > 0:
@@ -259,6 +294,16 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
             vis = vis_all[j * n:(j + 1) * n]
             radiance = radiance + shadow_contrib[j] * vis[:, None]
 
+    return _finish_bounce(data, static, s, tables, state, depth, hit,
+                          info, mat, live, receives, wo, vol_trans,
+                          radiance)
+
+
+def _finish_bounce(data, static, s, tables, state, depth, hit, info, mat,
+                   live, receives, wo, vol_trans, radiance) -> PathState:
+    """Steps 5-7 of a bounce (scatter, AOVs, termination) — shared by the
+    fused-shadow and segment-queue paths."""
+    n = state.origin.shape[0]
     # 5. scatter + throughput + roulette
     u_f = rng.sample_1d(s, tables, rng.set1d_fresnel(s, depth),
                         state.sample_idx, state.pixel)

@@ -132,7 +132,10 @@ def _rd_bits(alpha: int, set_base: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
              + (m10 & jnp.uint32(_M16))) >> jnp.uint32(16)
     p0h = m11 + (m01 >> jnp.uint32(16)) + (m10 >> jnp.uint32(16)) + carry
     h = p0h + a_l * set_base.astype(jnp.uint32) + a_h * n
-    return (h >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(2.0 ** -24)
+    # (h >> 8) < 2^24, so the int32 intermediate cast is exact; Mosaic
+    # (the Pallas TPU lowering) has no uint32 -> float32 cast.
+    return ((h >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32)
+            * jnp.float32(2.0 ** -24))
 
 
 def rd_value_1d(frame: jnp.ndarray, set_id: int, n: jnp.ndarray):
@@ -167,8 +170,11 @@ def hash_combine(*words) -> jnp.ndarray:
 
 
 def hash_to_unit_f32(h: jnp.ndarray) -> jnp.ndarray:
-    """uint32 -> float32 in [0, 1) using the top 24 bits."""
-    return (h >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(2.0 ** -24)
+    """uint32 -> float32 in [0, 1) using the top 24 bits. The int32
+    intermediate cast is exact (values < 2^24) and keeps the function
+    usable inside Pallas kernels (Mosaic has no u32 -> f32 cast)."""
+    return ((h >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32)
+            * jnp.float32(2.0 ** -24))
 
 
 # ---------------------------------------------------------------------------

@@ -81,8 +81,43 @@ def selftest() -> str:
         raise AssertionError(
             f"pallas selftest FAILED march_ok={march_ok} occl_ok={occl_ok} "
             f"first diffs at {bad}: jnp={t_ref[bad]} pallas={t_pal[bad]}")
+
+    # Fused shadow kernel vs the unfused segment queue on the live chip:
+    # one small frame each way. On real Mosaic the in-kernel cone/BSDF
+    # arithmetic differs from XLA at the ulp level, and the
+    # ill-conditioned cos_alpha/small-cone-pdf terms amplify that into
+    # per-SAMPLE decorrelation (like a seed change) — so the gate is
+    # statistical: per-pixel RMSE at the oracle-gate tolerance and a
+    # bias check on the image mean (measured on v5e: RMSE 1.6e-3 at 128
+    # spp with means equal to 1e-5 relative).
+    import dataclasses
+    from rayn_tpu.config import RenderSettings
+    from rayn_tpu.render import film as film_mod
+    from rayn_tpu.render import renderer
+    from rayn_tpu.scene import presets
+
+    res = (64, 64)
+    spp = 32
+    base = RenderSettings(resolution=res, spp=spp, max_marches=64,
+                          max_vis_marches=64,
+                          rays_per_pass=res[0] * res[1] * spp)
+    data, static, camera = presets.default_scene(resolution=res)
+    imgs = []
+    for fused in (False, True):
+        cfg = dataclasses.replace(base, use_fused_shadows=fused)
+        film = renderer.render_frame(data, static, cfg, camera, frame=1)
+        imgs.append(np.asarray(film_mod.resolve(film, res).color))
+    rmse = float(np.sqrt(np.mean((imgs[0] - imgs[1]) ** 2)))
+    mean_rel = abs(imgs[0].mean() - imgs[1].mean()) / max(imgs[0].mean(),
+                                                          1e-9)
+    if rmse > 5e-3 or mean_rel > 1e-3:
+        raise AssertionError(
+            f"fused shadow selftest FAILED: image RMSE {rmse:.2e} "
+            f"(gate 5e-3), mean rel diff {mean_rel:.2e} (gate 1e-3)")
     return ("selftest: pallas==jnp bit-equal "
-            f"(march {n} rays, occlusion {n} segments)")
+            f"(march {n} rays, occlusion {n} segments); fused-vs-unfused "
+            f"{res[0]}x{res[1]}@{spp}spp RMSE {rmse:.1e}, "
+            f"mean rel diff {mean_rel:.1e}")
 
 
 def main():

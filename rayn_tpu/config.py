@@ -142,7 +142,10 @@ class RenderSettings:
     # bounce to HBM. Falls back automatically for scenes the kernel
     # cannot host (animated lights/spheres, no component-form SDF,
     # non-scalar SDF params, mis=True, relaxation, CPU backend).
-    use_fused_shadows: bool = False
+    # Measured on v5e: 769 vs 883 ms per 1M-ray fractal pass; streams
+    # identical, radiance equal up to f32 association (rare grazing
+    # visibility flips; fused-vs-unfused image RMSE < 5e-4, tested).
+    use_fused_shadows: bool = True
 
     # Sorted two-phase *primary* march (march_sorted): the occl_sort_steps
     # scheme applied to closest-hit marching. 0 disables (same in-situ

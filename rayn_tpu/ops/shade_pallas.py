@@ -20,6 +20,19 @@ in per volume march.
 Eligibility (checked by `fused_ok`): component-form SDF with scalar
 parameter leaves, constant (1-knot) light/sphere channels, mis off.
 Everything else falls back to the unfused path.
+
+Fidelity note (measured on v5e): in interpret mode the kernel matches
+the unfused path to f32 association order (tests/test_fused_shadows.py).
+On real Mosaic the hardware transcendental/rsqrt approximations differ
+from XLA at the ulp level, and two ill-conditioned cone-sampling terms —
+cos_alpha's catastrophic cancellation (dist_sq + r2 - ds^2 with
+ds ~ dist) and the small-cone pdf's 1/(1 - cos_theta_max) — amplify
+those ulps ~1000x on a few %% of lanes. The result is per-SAMPLE
+decorrelation equivalent to a seed change, not bias: image means match
+to 1e-5 relative, per-pixel RMSE 1.6e-3 at 128 spp (Monte Carlo noise
+scale). bench.py --selftest gates this statistically on every run; the
+exact-equality invariants (pass-size/device-count splits) are unaffected
+because the fused kernel is itself deterministic.
 """
 
 from __future__ import annotations

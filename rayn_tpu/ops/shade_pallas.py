@@ -94,37 +94,52 @@ def _onb(nx, ny, nz):
     return uu, vv
 
 
+def _u32(x):
+    """Coerce a python int or traced scalar to uint32."""
+    if isinstance(x, int):
+        return jnp.uint32(x)
+    return x.astype(jnp.uint32)
+
+
 def _sample_1d(sampler, frame_u32, set_id, sample_idx, pixel):
-    """Mirrors utils.rng.sample_1d for a static set id."""
+    """Mirrors utils.rng.sample_1d. set_id may be a static int or a
+    traced scalar (SMEM-carried, so one Mosaic kernel serves every
+    bounce depth)."""
+    sid = _u32(set_id)
     if sampler == "hash":
         return rng_mod.hash_to_unit_f32(rng_mod.hash_combine(
-            pixel, sample_idx, jnp.uint32(rng_mod._SET_SALT_1D ^ set_id),
+            pixel, sample_idx, jnp.uint32(rng_mod._SET_SALT_1D) ^ sid,
             frame_u32))
-    base = rng_mod._rd_bits(rng_mod._A1, frame_u32 + jnp.uint32(set_id),
-                            sample_idx)
+    base = rng_mod._rd_bits(rng_mod._A1, frame_u32 + sid, sample_idx)
     scr = rng_mod.hash_to_unit_f32(rng_mod.hash_combine(
-        pixel, jnp.uint32(rng_mod._SET_SALT_1D ^ set_id), frame_u32))
+        pixel, jnp.uint32(rng_mod._SET_SALT_1D) ^ sid, frame_u32))
     return jnp.mod(base + scr, 1.0)
 
 
 def _sample_2d(sampler, num_1d_sets, frame_u32, set_id, sample_idx, pixel):
-    """Mirrors utils.rng.sample_2d for a static set id; returns (u, v)."""
+    """Mirrors utils.rng.sample_2d; returns (u, v). set_id may be static
+    or traced (see _sample_1d)."""
+    sid = _u32(set_id)
     if sampler == "hash":
         u = rng_mod.hash_to_unit_f32(rng_mod.hash_combine(
             pixel, sample_idx,
-            jnp.uint32(rng_mod._SET_SALT_2D ^ (2 * set_id)), frame_u32))
+            jnp.uint32(rng_mod._SET_SALT_2D) ^ (sid * jnp.uint32(2)),
+            frame_u32))
         v = rng_mod.hash_to_unit_f32(rng_mod.hash_combine(
             pixel, sample_idx,
-            jnp.uint32(rng_mod._SET_SALT_2D ^ (2 * set_id + 1)), frame_u32))
+            jnp.uint32(rng_mod._SET_SALT_2D)
+            ^ (sid * jnp.uint32(2) + jnp.uint32(1)), frame_u32))
         return u, v
-    base = frame_u32 + jnp.uint32(num_1d_sets + set_id)
+    base = frame_u32 + jnp.uint32(num_1d_sets) + sid
     bu = rng_mod._rd_bits(rng_mod._A2[0], base, sample_idx)
     bv = rng_mod._rd_bits(rng_mod._A2[1], base, sample_idx)
     scr_u = rng_mod.hash_to_unit_f32(rng_mod.hash_combine(
-        pixel, jnp.uint32(rng_mod._SET_SALT_2D ^ (2 * set_id)), frame_u32))
-    scr_v = rng_mod.hash_to_unit_f32(rng_mod.hash_combine(
-        pixel, jnp.uint32(rng_mod._SET_SALT_2D ^ (2 * set_id + 1)),
+        pixel, jnp.uint32(rng_mod._SET_SALT_2D) ^ (sid * jnp.uint32(2)),
         frame_u32))
+    scr_v = rng_mod.hash_to_unit_f32(rng_mod.hash_combine(
+        pixel,
+        jnp.uint32(rng_mod._SET_SALT_2D)
+        ^ (sid * jnp.uint32(2) + jnp.uint32(1)), frame_u32))
     return jnp.mod(bu + scr_u, 1.0), jnp.mod(bv + scr_v, 1.0)
 
 
@@ -289,12 +304,16 @@ def _shadow_kernel(cfg, const_ref, frame_ref,
     per-sphere (center xyz, radius), and (sigma_t, sigma_s) — the scene
     constants the unfused path reads from SceneData arrays (constant
     1-knot channels only; fused_ok gates this).
+    frame_ref: SMEM i32 vector [1, 1 + 2*L + 2*VM*L]: the frame salt
+    followed by the sampler set ids (light picks, NEE 2d, volume picks,
+    volume 2d — all depth-dependent). Carrying them as runtime scalars
+    keeps the Mosaic kernel identical across bounce depths, so XLA
+    compiles ONE kernel per pass instead of max_bounces+1.
     vol_args: VM*L pairs of (vol_dist, vol_pdf) refs (march-major, i.e.
     (m0,i0),(m0,i1),... — precomputed outside because Mosaic lowers no
     atan2) followed by the three radiance-delta output refs."""
     (fn_c, treedef, n_leaves, sampler, num_1d_sets, L, VM, NL, K,
      has_ext, has_scat, eps_c, eps_l, max_steps,
-     set_pick, set_nee, set_vol_pick, set_vol,
      correction, vm_correction) = cfg
     prm = _unflatten_params(const_ref, treedef, n_leaves)
     base = n_leaves
@@ -307,6 +326,15 @@ def _shadow_kernel(cfg, const_ref, frame_ref,
     sigma_t = const_ref[0, base]
     sigma_s = const_ref[0, base + 1]
     frame_u32 = frame_ref[0, 0].astype(jnp.uint32)
+    set_pick = tuple(frame_ref[0, 1 + i] for i in range(L))
+    set_nee = tuple(frame_ref[0, 1 + L + i] for i in range(L))
+    set_vol_pick = tuple(
+        tuple(frame_ref[0, 1 + 2 * L + m * L + i] for i in range(L))
+        for m in range(VM))
+    set_vol = tuple(
+        tuple(frame_ref[0, 1 + 2 * L + VM * L + m * L + i]
+              for i in range(L))
+        for m in range(VM))
 
     p_x, p_y, p_z = px[:], py[:], pz[:]
     n_x, n_y, n_z = nx[:], ny[:], nz[:]
@@ -477,15 +505,16 @@ def shadow_radiance(data, static, settings, tables, depth: int,
         L, VM, NL, K,
         static.has_extinction, static.has_scattering,
         1e-4 * detail, 1e-5 * detail, s.max_vis_marches,
-        tuple(rng_mod.set1d_light_pick(s, depth, i) for i in range(L)),
-        tuple(rng_mod.set2d_nee(s, depth, i) for i in range(L)),
-        tuple(tuple(rng_mod.set1d_vol_pick(s, depth, m, i)
-                    for i in range(L)) for m in range(VM)),
-        tuple(tuple(rng_mod.set2d_vol(s, depth, m, i)
-                    for i in range(L)) for m in range(VM)),
         (NL / L) if L else 0.0,
         (NL / L / VM) if (L and VM) else 0.0,
     )
+    set_ids = (
+        [rng_mod.set1d_light_pick(s, depth, i) for i in range(L)]
+        + [rng_mod.set2d_nee(s, depth, i) for i in range(L)]
+        + [rng_mod.set1d_vol_pick(s, depth, m, i)
+           for m in range(VM) for i in range(L)]
+        + [rng_mod.set2d_vol(s, depth, m, i)
+           for m in range(VM) for i in range(L)])
 
     args = [
         _to_rows(point[:, 0], rows), _to_rows(point[:, 1], rows),
@@ -518,9 +547,12 @@ def shadow_radiance(data, static, settings, tables, depth: int,
                          memory_space=pltpu.VMEM)
     smem = pl.BlockSpec((1, n_const), lambda i: (0, 0),
                         memory_space=pltpu.SMEM)
-    smem_i = pl.BlockSpec((1, 1), lambda i: (0, 0),
+    smem_i = pl.BlockSpec((1, 1 + len(set_ids)), lambda i: (0, 0),
                           memory_space=pltpu.SMEM)
-    frame = tables.frame.astype(jnp.int32).reshape(1, 1)
+    frame = jnp.concatenate([
+        tables.frame.astype(jnp.int32).reshape(1),
+        jnp.asarray(set_ids, jnp.int32),
+    ]).reshape(1, -1)
 
     kernel = functools.partial(_shadow_kernel, cfg)
     out_r, out_g, out_b = pl.pallas_call(

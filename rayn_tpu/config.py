@@ -147,6 +147,14 @@ class RenderSettings:
     # visibility flips; fused-vs-unfused image RMSE < 5e-4, tested).
     use_fused_shadows: bool = True
 
+    # Fused closest-hit + shading-info Pallas kernel
+    # (ops/intersect_pallas.py): sphere fold, sphere-bounded SDF march,
+    # tetrahedral normal and shading selects in one kernel instead of
+    # XLA stages round-tripping HBM between them. Same fallback rules as
+    # use_fused_shadows (constant sphere channels, component-form SDF,
+    # no relaxation, TPU backend).
+    use_fused_intersect: bool = True
+
     # Sorted two-phase *primary* march (march_sorted): the occl_sort_steps
     # scheme applied to closest-hit marching. 0 disables (same in-situ
     # rationale as occl_sort_steps). Only used when march_relaxation ==

@@ -108,17 +108,26 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
         hps_abs = jnp.zeros((n,), jnp.float32)
         hps_lin = jnp.full((n,), 2e-4 * depth, jnp.float32)
 
-    t_max = jnp.full((n,), 2.0 * s.world_radius, jnp.float32)
-    hit = intersect.closest_hit(
-        data, static, s, state.origin, state.direction, state.time, t_max,
-        hps_abs, hps_lin, state.alive)
+    from rayn_tpu.ops import intersect_pallas
+    if (static.has_sdf
+            and intersect_pallas.fused_intersect_ok(
+                s, static, data, static.sdf_program(data))):
+        hit, info = intersect_pallas.closest_hit_shading(
+            data, static, s, state.origin, state.direction,
+            hps_abs, hps_lin, state.alive,
+            block_rows=s.pallas_block_rows)
+    else:
+        t_max = jnp.full((n,), 2.0 * s.world_radius, jnp.float32)
+        hit = intersect.closest_hit(
+            data, static, s, state.origin, state.direction, state.time,
+            t_max, hps_abs, hps_lin, state.alive)
+        info = intersect.shading_info(
+            data, static, s, hit, state.origin, state.direction,
+            state.time, hps_abs, hps_lin)
 
     live = state.alive & hit.valid  # lanes shading this bounce
     # Missing lanes die silently (the reference never bins them,
     # src/hitable.rs:203-209).
-    info = intersect.shading_info(
-        data, static, s, hit, state.origin, state.direction, state.time,
-        hps_abs, hps_lin)
     mat = bsdf_ops.gather(data.materials, info.mat)
     receives = bsdf_ops.receives_light(mat) & live
     wo = -state.direction

@@ -19,3 +19,11 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu", jax.devices()
 assert len(jax.devices()) == 8, jax.devices()
+
+# XLA-CPU compiles of the big render graphs / interpret-mode Pallas
+# kernels dominate suite time; a persistent cache makes repeat runs
+# (local dev, driver re-runs) several minutes faster.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("RAYN_JAX_TEST_CACHE",
+                                 "/tmp/rayn_jax_test_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)

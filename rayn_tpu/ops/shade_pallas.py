@@ -59,18 +59,21 @@ INTERPRET = False
 
 
 def fused_ok(settings, static, data, prog) -> bool:
-    """Whether the fused shadow kernel can replace the unfused path."""
+    """Whether the fused shadow kernel can replace the unfused path.
+    Scenes without an SDF are eligible too (the kernel simply skips the
+    shadow march and tests spheres only)."""
     if not (settings.use_pallas_occlusion and settings.use_fused_shadows):
         return False
     if settings.mis or settings.march_relaxation != 1.0:
         return False
     if jax.default_backend() == "cpu" and not INTERPRET:
         return False
-    if prog is None or prog.fn_c is None:
-        return False
-    if any(getattr(jnp.asarray(leaf), "shape", ()) != ()
-           for leaf in jax.tree.leaves(prog.params)):
-        return False
+    if static.has_sdf:
+        if prog is None or prog.fn_c is None:
+            return False
+        if any(getattr(jnp.asarray(leaf), "shape", ()) != ()
+               for leaf in jax.tree.leaves(prog.params)):
+            return False
     # constant channels only (1 knot): light + sphere positions
     if data.light_pos.values.shape[1] != 1:
         return False
@@ -315,7 +318,8 @@ def _shadow_kernel(cfg, const_ref, frame_ref,
     (fn_c, treedef, n_leaves, sampler, num_1d_sets, L, VM, NL, K,
      has_ext, has_scat, eps_c, eps_l, max_steps,
      correction, vm_correction) = cfg
-    prm = _unflatten_params(const_ref, treedef, n_leaves)
+    prm = (_unflatten_params(const_ref, treedef, n_leaves)
+           if fn_c is not None else None)
     base = n_leaves
     lights = tuple(tuple(const_ref[0, base + l * 7 + j] for j in range(7))
                    for l in range(NL))
@@ -394,9 +398,10 @@ def _shadow_kernel(cfg, const_ref, frame_ref,
         kb = jnp.where(receives, eb * fb * ndl * scale * tp_z, 0.0)
         worth = receives & ((kr != 0.0) | (kg != 0.0) | (kb != 0.0))
         blocked = _sphere_occluded(spheres, sx, sy, sz, ex, ey, ez)
-        blocked = blocked | _sdf_occluded(
-            fn_c, prm, max_steps, eps_c, eps_l, sx, sy, sz, ex, ey, ez,
-            worth & jnp.logical_not(blocked))
+        if fn_c is not None:
+            blocked = blocked | _sdf_occluded(
+                fn_c, prm, max_steps, eps_c, eps_l, sx, sy, sz,
+                ex, ey, ez, worth & jnp.logical_not(blocked))
         vis = jnp.logical_not(blocked).astype(jnp.float32) \
             * worth.astype(jnp.float32)
         rad_r = rad_r + kr * vis
@@ -434,10 +439,11 @@ def _shadow_kernel(cfg, const_ref, frame_ref,
                 worth = alive & ((kr != 0.0) | (kg != 0.0) | (kb != 0.0))
                 blocked = _sphere_occluded(spheres, spx, spy, spz,
                                            ex, ey, ez)
-                blocked = blocked | _sdf_occluded(
-                    fn_c, prm, max_steps, eps_c, eps_l,
-                    spx, spy, spz, ex, ey, ez,
-                    worth & jnp.logical_not(blocked))
+                if fn_c is not None:
+                    blocked = blocked | _sdf_occluded(
+                        fn_c, prm, max_steps, eps_c, eps_l,
+                        spx, spy, spz, ex, ey, ez,
+                        worth & jnp.logical_not(blocked))
                 vis = jnp.logical_not(blocked).astype(jnp.float32) \
                     * worth.astype(jnp.float32)
                 rad_r = rad_r + kr * vis
@@ -463,7 +469,7 @@ def shadow_radiance(data, static, settings, tables, depth: int,
     kernel recomputes the same light pick bit-identically — the sampler
     is pure u32 arithmetic)."""
     s = settings
-    prog = static.sdf_program(data)
+    prog = static.sdf_program(data) if static.has_sdf else None
     n = point.shape[0]
     block_rows = max(block_rows, 8)
     block = block_rows * LANES
@@ -475,7 +481,8 @@ def shadow_radiance(data, static, settings, tables, depth: int,
     L = s.nee_light_samples if NL > 0 else 0
     VM = s.volume_marches if (static.has_scattering and NL > 0) else 0
 
-    params, treedef, n_leaves = _flatten_params(prog.params)
+    params, treedef, n_leaves = _flatten_params(
+        prog.params if prog is not None else {})
     # scene-constant SMEM vector: sdf leaves, per-light (pos, rad, em),
     # per-sphere (center, rad), sigma_t, sigma_s — all traced values.
     pieces = [params.reshape(-1)]
@@ -501,7 +508,8 @@ def shadow_radiance(data, static, settings, tables, depth: int,
 
     detail = s.sdf_detail_scale
     cfg = (
-        prog.fn_c, treedef, n_leaves, s.sampler, s.num_1d_sets,
+        prog.fn_c if prog is not None else None,
+        treedef, n_leaves, s.sampler, s.num_1d_sets,
         L, VM, NL, K,
         static.has_extinction, static.has_scattering,
         1e-4 * detail, 1e-5 * detail, s.max_vis_marches,

@@ -175,9 +175,10 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
     # occlusion call — the wavefront "shadow queue" (BASELINE.json north
     # star): one big march kernel launch per bounce instead of 12, with
     # contributions applied afterwards as contrib * visibility.
-    if static.has_sdf and static.n_lights > 0:
+    if static.n_lights > 0:
         from rayn_tpu.ops import shade_pallas
-        prog_probe = static.sdf_program(data)
+        prog_probe = (static.sdf_program(data) if static.has_sdf
+                      else None)
         if shade_pallas.fused_ok(s, static, data, prog_probe):
             vol_dists, vol_pdfs = [], []
             if static.has_scattering and s.volume_marches:

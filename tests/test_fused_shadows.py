@@ -109,14 +109,36 @@ def test_fused_render_matches_image(interpret_fused):
     assert rmse < 5e-4, f"fused-vs-unfused image RMSE {rmse}"
 
 
-def test_fused_gate_falls_back_without_sdf(interpret_fused):
-    """spheres_scene has no SDF: the fused gate must reject and the
-    unfused path must still run (smoke)."""
-    n = 256
+def test_fused_no_sdf_scene_matches(interpret_fused):
+    """spheres_scene has no SDF: the fused kernel skips the shadow march
+    (sphere occlusion only) and must still match the unfused path."""
+    n = 512
     res = (16, 16)
-    settings = RenderSettings(resolution=res, spp=1, rays_per_pass=n,
-                              use_fused_shadows=True)
+    base = RenderSettings(resolution=res, spp=2, rays_per_pass=n)
     data, static, camera = presets.spheres_scene(resolution=res)
     prog = static.sdf_program(data) if static.has_sdf else None
+    assert shade_pallas.fused_ok(
+        dataclasses.replace(base, use_fused_shadows=True),
+        static, data, prog)
+    plain = _run_bounces(base, data, static, camera, n, depths=(0, 1))
+    fused = _run_bounces(
+        dataclasses.replace(base, use_fused_shadows=True),
+        data, static, camera, n, depths=(0, 1))
+    for d, (a, b) in enumerate(zip(plain, fused)):
+        ra, rb = np.asarray(a.radiance), np.asarray(b.radiance)
+        close = np.isclose(ra, rb, rtol=2e-4, atol=2e-5)
+        assert (1.0 - close.mean()) < 1.5e-2, f"depth {d}"
+        np.testing.assert_array_equal(np.asarray(a.alive),
+                                      np.asarray(b.alive))
+
+
+def test_fused_gate_rejects_mis(interpret_fused):
+    """mis=True must fall back to the unfused path (MIS weights are not
+    in the kernel)."""
+    res = (16, 16)
+    settings = RenderSettings(resolution=res, spp=1, rays_per_pass=256,
+                              use_fused_shadows=True, mis=True)
+    data, static, camera = presets.default_scene(resolution=res)
+    prog = static.sdf_program(data)
     assert not shade_pallas.fused_ok(settings, static, data, prog)
-    _run_bounces(settings, data, static, camera, n, depths=(0,))
+    _run_bounces(settings, data, static, camera, 256, depths=(0,))

@@ -37,18 +37,20 @@ INTERPRET = False
 
 def fused_intersect_ok(settings, static, data, prog) -> bool:
     """Whether the fused intersect kernel can replace
-    closest_hit + shading_info for this scene/settings."""
+    closest_hit + shading_info for this scene/settings. Scenes without
+    an SDF are eligible (the kernel skips the march + tetra normal)."""
     if not (settings.use_pallas and settings.use_fused_intersect):
         return False
     if settings.march_relaxation != 1.0:
         return False
     if jax.default_backend() == "cpu" and not INTERPRET:
         return False
-    if not static.has_sdf or prog is None or prog.fn_c is None:
-        return False
-    if any(getattr(jnp.asarray(leaf), "shape", ()) != ()
-           for leaf in jax.tree.leaves(prog.params)):
-        return False
+    if static.has_sdf:
+        if prog is None or prog.fn_c is None:
+            return False
+        if any(getattr(jnp.asarray(leaf), "shape", ()) != ()
+               for leaf in jax.tree.leaves(prog.params)):
+            return False
     if static.n_spheres and data.sphere_centers.values.shape[1] != 1:
         return False
     return True
@@ -63,7 +65,8 @@ def _intersect_kernel(cfg, const_ref,
     const_ref: SMEM f32 [1, n_leaves + 5*K]: SDF leaves then per-sphere
     (center xyz, radius, material id as f32)."""
     (fn_c, treedef, n_leaves, K, max_steps, detail, t_max0, sdf_mat) = cfg
-    prm = _unflatten_params(const_ref, treedef, n_leaves)
+    prm = (_unflatten_params(const_ref, treedef, n_leaves)
+           if fn_c is not None else None)
     spheres = tuple(tuple(const_ref[0, n_leaves + k * 5 + j]
                           for j in range(5)) for k in range(K))
 
@@ -96,37 +99,39 @@ def _intersect_kernel(cfg, const_ref,
 
     # --- SDF march bounded by the sphere-closest (march_pallas
     # _march_kernel relax==1 body; reference src/sdf.rs:59-83) ---
-    eps_const = 5e-5 * detail
-    eps_abs = 0.05 * detail * hps_abs
-    eps_lin = 0.05 * detail * hps_lin
-    t_max = best_t
+    if fn_c is not None:
+        eps_const = 5e-5 * detail
+        eps_abs = 0.05 * detail * hps_abs
+        eps_lin = 0.05 * detail * hps_lin
+        t_max = best_t
 
-    t0 = fn_c(prm, o_x, o_y, o_z)
-    nan_mask = jnp.isnan(t0) & active
-    t0 = jnp.where(active, t0, t_max + 1.0)
+        t0 = fn_c(prm, o_x, o_y, o_z)
+        nan_mask = jnp.isnan(t0) & active
+        t0 = jnp.where(active, t0, t_max + 1.0)
 
-    def done_of(t, dist):
-        thresh = jnp.maximum(eps_const, eps_abs + eps_lin * t)
-        return (jnp.abs(dist) < thresh) | nan_mask | (t > t_max)
+        def done_of(t, dist):
+            thresh = jnp.maximum(eps_const, eps_abs + eps_lin * t)
+            return (jnp.abs(dist) < thresh) | nan_mask | (t > t_max)
 
-    init_done = jnp.all(jnp.logical_not(active) | nan_mask)
+        init_done = jnp.all(jnp.logical_not(active) | nan_mask)
 
-    def cond(state):
-        step, _, all_done = state
-        return jnp.logical_and(step < max_steps, jnp.logical_not(all_done))
+        def cond(state):
+            step, _, all_done = state
+            return jnp.logical_and(step < max_steps,
+                                   jnp.logical_not(all_done))
 
-    def body(state):
-        step, t, _ = state
-        dist = fn_c(prm, o_x + t * d_x, o_y + t * d_y, o_z + t * d_z)
-        done = done_of(t, dist)
-        t = jnp.where(done, t, t + dist)
-        return step + 1, t, jnp.all(done)
+        def body(state):
+            step, t, _ = state
+            dist = fn_c(prm, o_x + t * d_x, o_y + t * d_y, o_z + t * d_z)
+            done = done_of(t, dist)
+            t = jnp.where(done, t, t + dist)
+            return step + 1, t, jnp.all(done)
 
-    _, t_sdf, _ = jax.lax.while_loop(cond, body,
-                                     (jnp.int32(0), t0, init_done))
-    closer = t_sdf < best_t
-    best_t = jnp.where(closer, t_sdf, best_t)
-    best_obj = jnp.where(closer, float(K), best_obj)
+        _, t_sdf, _ = jax.lax.while_loop(cond, body,
+                                         (jnp.int32(0), t0, init_done))
+        closer = t_sdf < best_t
+        best_t = jnp.where(closer, t_sdf, best_t)
+        best_obj = jnp.where(closer, float(K), best_obj)
 
     # --- shading info (ops/intersect.shading_info; reference
     # src/sphere.rs:74-86, src/sdf.rs:85-102) ---
@@ -158,21 +163,24 @@ def _intersect_kernel(cfg, const_ref,
         n_z = jnp.where(is_sph, vz * vinv, n_z)
         del sphf
 
-    hps = jnp.maximum(1e-4, detail * (hps_abs + hps_lin * best_t))
-    gx = jnp.zeros_like(p_x)
-    gy = jnp.zeros_like(p_x)
-    gz = jnp.zeros_like(p_x)
-    for (kx, ky, kz) in _TETRA:
-        dk = fn_c(prm, p_x + kx * hps, p_y + ky * hps, p_z + kz * hps)
-        gx = gx + kx * dk
-        gy = gy + ky * dk
-        gz = gz + kz * dk
-    glen = jnp.sqrt(gx * gx + gy * gy + gz * gz)
-    ginv = 1.0 / jnp.maximum(glen, 1e-20)
-    n_x = jnp.where(is_sdf, gx * ginv, n_x)
-    n_y = jnp.where(is_sdf, gy * ginv, n_y)
-    n_z = jnp.where(is_sdf, gz * ginv, n_z)
-    mat = jnp.where(is_sdf, float(sdf_mat), mat)
+    off = jnp.zeros_like(p_x)
+    if fn_c is not None:
+        hps = jnp.maximum(1e-4, detail * (hps_abs + hps_lin * best_t))
+        gx = jnp.zeros_like(p_x)
+        gy = jnp.zeros_like(p_x)
+        gz = jnp.zeros_like(p_x)
+        for (kx, ky, kz) in _TETRA:
+            dk = fn_c(prm, p_x + kx * hps, p_y + ky * hps, p_z + kz * hps)
+            gx = gx + kx * dk
+            gy = gy + ky * dk
+            gz = gz + kz * dk
+        glen = jnp.sqrt(gx * gx + gy * gy + gz * gz)
+        ginv = 1.0 / jnp.maximum(glen, 1e-20)
+        n_x = jnp.where(is_sdf, gx * ginv, n_x)
+        n_y = jnp.where(is_sdf, gy * ginv, n_y)
+        n_z = jnp.where(is_sdf, gz * ginv, n_z)
+        mat = jnp.where(is_sdf, float(sdf_mat), mat)
+        off = jnp.where(is_sdf, hps, off)
 
     out_t[:] = best_t
     out_obj[:] = obj_i
@@ -182,7 +190,7 @@ def _intersect_kernel(cfg, const_ref,
     out_nx[:] = n_x
     out_ny[:] = n_y
     out_nz[:] = n_z
-    out_off[:] = jnp.where(is_sdf, hps, 0.0)
+    out_off[:] = off
     out_mat[:] = mat.astype(jnp.int32)
 
 
@@ -195,7 +203,7 @@ def closest_hit_shading(data, static, settings, origin, direction,
     shading_info for eligible scenes (fused_intersect_ok)."""
     from rayn_tpu.ops.intersect import Hit, ShadingInfo
 
-    prog = static.sdf_program(data)
+    prog = static.sdf_program(data) if static.has_sdf else None
     n = origin.shape[0]
     block_rows = max(block_rows, 8)
     block = block_rows * LANES
@@ -203,19 +211,25 @@ def closest_hit_shading(data, static, settings, origin, direction,
     rows = n_pad // LANES
     K = int(static.n_spheres)
 
-    params, treedef, n_leaves = _flatten_params(prog.params)
-    pieces = [params.reshape(-1)]
+    params, treedef, n_leaves = _flatten_params(
+        prog.params if prog is not None else {})
+    # Spheres are indexed at offset n_leaves — exclude the zero-leaf
+    # dummy _flatten_params returns for an empty pytree (n_leaves == 0).
+    pieces = [params.reshape(-1)] if n_leaves else []
     if K:
         pieces.append(jnp.concatenate([
             data.sphere_centers.values[:, 0, :],     # [K, 3]
             data.sphere_radii[:, None],              # [K, 1]
             data.sphere_mats.astype(jnp.float32)[:, None],
         ], axis=-1).reshape(-1))
+    if not pieces:
+        pieces = [jnp.zeros((1,), jnp.float32)]  # SMEM needs >= 1 entry
     const = jnp.concatenate(pieces).reshape(1, -1)
 
-    cfg = (prog.fn_c, treedef, n_leaves, K, settings.max_marches,
+    cfg = (prog.fn_c if prog is not None else None,
+           treedef, n_leaves, K, settings.max_marches,
            settings.sdf_detail_scale, 2.0 * settings.world_radius,
-           int(static.sdf_mat))
+           int(static.sdf_mat) if static.has_sdf else 0)
 
     args = [
         _to_rows(origin[:, 0], rows), _to_rows(origin[:, 1], rows),

@@ -485,7 +485,10 @@ def shadow_radiance(data, static, settings, tables, depth: int,
         prog.params if prog is not None else {})
     # scene-constant SMEM vector: sdf leaves, per-light (pos, rad, em),
     # per-sphere (center, rad), sigma_t, sigma_s — all traced values.
-    pieces = [params.reshape(-1)]
+    # The kernel indexes lights at offset n_leaves, so the zero-leaf
+    # dummy _flatten_params returns for an empty pytree must NOT be
+    # included (n_leaves == 0 there).
+    pieces = [params.reshape(-1)] if n_leaves else []
     if NL:
         pieces.append(jnp.concatenate([
             data.light_pos.values[:, 0, :],        # [NL, 3]

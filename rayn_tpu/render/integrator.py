@@ -109,9 +109,9 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
         hps_lin = jnp.full((n,), 2e-4 * depth, jnp.float32)
 
     from rayn_tpu.ops import intersect_pallas
-    if (static.has_sdf
-            and intersect_pallas.fused_intersect_ok(
-                s, static, data, static.sdf_program(data))):
+    if intersect_pallas.fused_intersect_ok(
+            s, static, data,
+            static.sdf_program(data) if static.has_sdf else None):
         hit, info = intersect_pallas.closest_hit_shading(
             data, static, s, state.origin, state.direction,
             hps_abs, hps_lin, state.alive,

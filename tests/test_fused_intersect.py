@@ -69,6 +69,38 @@ def test_fused_intersect_matches_unfused(interpret_fused):
                                rtol=1e-4, atol=1e-7)
 
 
+def test_fused_intersect_no_sdf_scene(interpret_fused):
+    """spheres_scene (no SDF): the kernel skips the march/tetra normal
+    and must match closest_hit + shading_info on the sphere fold."""
+    n = 512
+    res = (16, 16)
+    s = RenderSettings(resolution=res, spp=2, rays_per_pass=n)
+    data, static, camera = presets.spheres_scene(resolution=res)
+    o, d, tm, px, si, in_range = _camera_rays(s, data, static, camera, n)
+    ha, hl = camera.half_pixel_size_coeffs()
+    hps_abs = jnp.broadcast_to(ha, (n,))
+    hps_lin = jnp.broadcast_to(hl, (n,))
+    t_max = jnp.full((n,), 2.0 * s.world_radius, jnp.float32)
+    hit_ref = intersect.closest_hit(data, static, s, o, d, tm, t_max,
+                                    hps_abs, hps_lin, in_range)
+    info_ref = intersect.shading_info(data, static, s, hit_ref, o, d, tm,
+                                      hps_abs, hps_lin)
+    assert intersect_pallas.fused_intersect_ok(s, static, data, None)
+    hit, info = intersect_pallas.closest_hit_shading(
+        data, static, s, o, d, hps_abs, hps_lin, in_range)
+    np.testing.assert_array_equal(np.asarray(hit.valid),
+                                  np.asarray(hit_ref.valid))
+    np.testing.assert_array_equal(np.asarray(hit.obj),
+                                  np.asarray(hit_ref.obj))
+    np.testing.assert_allclose(np.asarray(hit.t), np.asarray(hit_ref.t),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(info.mat),
+                                  np.asarray(info_ref.mat))
+    np.testing.assert_allclose(np.asarray(info.normal),
+                               np.asarray(info_ref.normal),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_fused_intersect_render_image(interpret_fused):
     """Whole-frame image comparison with both fused kernels enabled in
     interpret mode vs everything unfused."""

@@ -53,8 +53,11 @@ def _run_bounces(settings, data, static, camera, n, depths=(0, 1)):
 def test_fused_matches_unfused(interpret_fused, volume):
     n = 512
     res = (32, 32)
+    # use_fused_shadows defaults ON — the plain arm must disable it
+    # explicitly or the comparison is fused-vs-fused (vacuous)
     base = RenderSettings(resolution=res, spp=4, max_marches=64,
-                          max_vis_marches=48, rays_per_pass=n)
+                          max_vis_marches=48, rays_per_pass=n,
+                          use_fused_shadows=False)
     data, static, camera = presets.default_scene(resolution=res,
                                                  volume=volume)
 
@@ -114,7 +117,8 @@ def test_fused_no_sdf_scene_matches(interpret_fused):
     (sphere occlusion only) and must still match the unfused path."""
     n = 512
     res = (16, 16)
-    base = RenderSettings(resolution=res, spp=2, rays_per_pass=n)
+    base = RenderSettings(resolution=res, spp=2, rays_per_pass=n,
+                          use_fused_shadows=False)
     data, static, camera = presets.spheres_scene(resolution=res)
     prog = static.sdf_program(data) if static.has_sdf else None
     assert shade_pallas.fused_ok(

@@ -136,7 +136,11 @@ def main():
                     help="optionally save the benchmark render to PNGs")
     ap.add_argument("--relax", type=float, default=1.0,
                     help="sphere-trace over-relaxation factor")
-    ap.add_argument("--rays-per-pass", type=int, default=1 << 20)
+    ap.add_argument("--rays-per-pass", type=int, default=None,
+                    help="default: 2^20 (march-heavy configs measured "
+                         "flat 2^19-2^22), except the cheap spheres "
+                         "config where 2^22 amortizes per-pass overhead "
+                         "(34.2 vs 31.8 Ms/s)")
     ap.add_argument("--sync-every", type=int, default=4,
                     help="scalar-readback sync cadence in passes. The "
                          "axon tunnel roundtrip is ~44 ms/sync; 4-deep "
@@ -170,6 +174,9 @@ def main():
     if args.selftest:
         print(f"# {selftest()}", file=sys.stderr)
 
+    if args.rays_per_pass is None:
+        args.rays_per_pass = (1 << 22) if args.config == "spheres" \
+            else (1 << 20)
     if args.tiny:
         res, spp, rays_per_pass, marches = (64, 64), 4, 1 << 13, 64
     else:

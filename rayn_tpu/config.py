@@ -147,6 +147,12 @@ class RenderSettings:
     # visibility flips; fused-vs-unfused image RMSE < 5e-4, tested).
     use_fused_shadows: bool = True
 
+    # Fused emission + scatter + roulette + termination kernel
+    # (shade_pallas.finish_bounce_fused): steps 2 and 5-7 of a bounce in
+    # one Pallas kernel instead of the XLA elementwise-chain tail. Only
+    # active when the fused-shadow gate passes (same eligibility).
+    use_fused_finish: bool = True
+
     # Fused closest-hit + shading-info Pallas kernel
     # (ops/intersect_pallas.py): sphere fold, sphere-bounded SDF march,
     # tetrahedral normal and shading selects in one kernel instead of

@@ -46,7 +46,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rayn_tpu.ops.march_pallas import (LANES, _flatten_params, _to_rows,
                                        _unflatten_params)
-from rayn_tpu.scene.scene import DIELECTRIC, LAMBERT, METALLIC
+from rayn_tpu.scene.scene import (DIELECTRIC, EMISSIVE, LAMBERT, METALLIC,
+                                  REFRACTIVE, SKY)
 from rayn_tpu.utils import rng as rng_mod
 
 _PI = 3.14159265358979
@@ -290,6 +291,172 @@ def _sdf_occluded(fn_c, prm, max_steps, eps_c, eps_l,
 
 
 # --------------------------------------------------------------------------
+# In-kernel scatter (component-form port of ops.bsdf.scatter)
+# --------------------------------------------------------------------------
+
+def _concentric_disk(u, v):
+    """sampling.concentric_disk incl. the (0,0) -> b=1e-4 guard
+    (reference src/math.rs:201-219)."""
+    a = u * 2.0 - 1.0
+    b = v * 2.0 - 1.0
+    zero_mask = (a == 0.0) & (b == 0.0)
+    b = jnp.where(zero_mask, 1e-4, b)
+    a_safe = jnp.where(a == 0.0, 1.0, a)
+    phi1 = (_PI / 4.0) * b / a_safe
+    phi2 = (_PI / 2.0) - (_PI / 4.0) * a / b
+    take1 = (a * a) > (b * b)
+    r = jnp.where(take1, a, b)
+    phi = jnp.where(take1, phi1, phi2)
+    return r * jnp.cos(phi), r * jnp.sin(phi)
+
+
+def _cosine_hemisphere(u, v):
+    dx, dy = _concentric_disk(u, v)
+    mag_sq = dx * dx + dy * dy
+    z = jnp.sqrt(1.0 - jnp.minimum(mag_sq, 1.0))
+    return dx, dy, z
+
+
+def _cosine_power_hemisphere(u, v, power, compat_phi):
+    a = jnp.power(u, 1.0 / (power + 1.0))
+    b = jnp.sqrt(jnp.maximum(1.0 - a * a, 0.0))
+    phi = (2.0 * v) if compat_phi else ((2.0 * _PI) * v)
+    return b * jnp.cos(phi), b * jnp.sin(phi), a
+
+
+def _basis_transform(uu, vv, w, x, y, z):
+    """x*uu + y*vv + z*w in component form (w given as components)."""
+    wx, wy, wz = w
+    return (x * uu[0] + y * vv[0] + z * wx,
+            x * uu[1] + y * vv[1] + z * wy,
+            x * uu[2] + y * vv[2] + z * wz)
+
+
+def _norm3(x, y, z, eps):
+    mag = jnp.sqrt(x * x + y * y + z * z)
+    inv = 1.0 / jnp.maximum(mag, eps) if eps else 1.0 / mag
+    return x * inv, y * inv, z * inv
+
+
+def _scatter(cfg_compat, kind, car, cag, cab, power, ior,
+             wox, woy, woz, nx, ny, nz, u_f, u_d1, u_d2, u_s1, u_s2):
+    """ops.bsdf.scatter in component form. Returns (wi xyz, f rgb, pdf).
+    Reference src/material.rs:118-137 (Lambert), :207-256 (Dielectric),
+    plus the working Metallic/Refractive variants."""
+    compat_reflect, compat_phi = cfg_compat
+    uu, vv = _onb(nx, ny, nz)
+
+    dsx, dsy, dsz = _cosine_hemisphere(u_d1, u_d2)
+    bx, by, bz = _basis_transform(uu, vv, (nx, ny, nz), dsx, dsy, dsz)
+    dbx, dby, dbz = _norm3(bx, by, bz, 0.0)
+    lambert_pdf = dsz / _PI
+    diffuse_pdf = jnp.maximum(1e-5, lambert_pdf)
+    inv_pi = 1.0 / _PI
+
+    won = wox * nx + woy * ny + woz * nz
+    if compat_reflect:
+        rx = wox - 2.0 * won * nx
+        ry = woy - 2.0 * won * ny
+        rz = woz - 2.0 * won * nz
+    else:
+        rx = 2.0 * won * nx - wox
+        ry = 2.0 * won * ny - woy
+        rz = 2.0 * won * nz - woz
+    ru, rv = _onb(rx, ry, rz)
+    ssx, ssy, ssz = _cosine_power_hemisphere(u_s1, u_s2, power, compat_phi)
+    sx, sy, sz = _basis_transform(ru, rv, (rx, ry, rz), ssx, ssy, ssz)
+    sbx, sby, sbz = _norm3(sx, sy, sz, 0.0)
+    cos_alpha_pow = jnp.maximum(jnp.power(ssz, power), F32_EPS)
+    spec_pdf = (power + 1.0) / _TWO_PI * cos_alpha_pow
+    spec_coeff = (power + 2.0) / _TWO_PI * cos_alpha_pow
+    below = (nx * sbx + ny * sby + nz * sbz) < 0.0
+    spec_coeff = jnp.where(below, 0.0, spec_coeff)
+
+    cos = jnp.abs(won)
+    one_m = 1.0 - cos
+    om2 = one_m * one_m
+    fresnel = _F0 + (1.0 - _F0) * (om2 * om2 * one_m)
+    take_spec = u_f < fresnel
+
+    diel_wix = jnp.where(take_spec, sbx, dbx)
+    diel_wiy = jnp.where(take_spec, sby, dby)
+    diel_wiz = jnp.where(take_spec, sbz, dbz)
+    diel_pdf = fresnel * spec_pdf + (1.0 - fresnel) * diffuse_pdf
+
+    is_diel = kind == DIELECTRIC
+    wix = jnp.where(is_diel, diel_wix, dbx)
+    wiy = jnp.where(is_diel, diel_wiy, dby)
+    wiz = jnp.where(is_diel, diel_wiz, dbz)
+    pdf = jnp.where(is_diel, diel_pdf, lambert_pdf)
+
+    def chan_df(c):
+        diffuse_f = c * inv_pi
+        diel_f = jnp.where(take_spec, spec_coeff, diffuse_f)
+        return jnp.where(is_diel, diel_f, diffuse_f)
+
+    fr, fg, fb = chan_df(car), chan_df(cag), chan_df(cab)
+
+    is_metal = kind == METALLIC
+    om5 = om2 * om2 * one_m
+    wix = jnp.where(is_metal, sbx, wix)
+    wiy = jnp.where(is_metal, sby, wiy)
+    wiz = jnp.where(is_metal, sbz, wiz)
+    pdf = jnp.where(is_metal, spec_pdf, pdf)
+    fr = jnp.where(is_metal, (car + (1.0 - car) * om5) * spec_coeff, fr)
+    fg = jnp.where(is_metal, (cag + (1.0 - cag) * om5) * spec_coeff, fg)
+    fb = jnp.where(is_metal, (cab + (1.0 - cab) * om5) * spec_coeff, fb)
+
+    # Refractive (working variant of the reference's commented stub)
+    is_refr = kind == REFRACTIVE
+    cos_i = won
+    entering = cos_i > 0.0
+    nrx = jnp.where(entering, nx, -nx)
+    nry = jnp.where(entering, ny, -ny)
+    nrz = jnp.where(entering, nz, -nz)
+    eta = jnp.where(entering, 1.0 / ior, ior)
+    ci = jnp.abs(cos_i)
+    sin2_t = eta * eta * jnp.maximum(0.0, 1.0 - ci * ci)
+    tir = sin2_t > 1.0
+    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+    k_eta = eta * ci - cos_t
+    rfx, rfy, rfz = _norm3(-wox * eta + nrx * k_eta,
+                           -woy * eta + nry * k_eta,
+                           -woz * eta + nrz * k_eta, 1e-20)
+    f0r = (1.0 - ior) / (1.0 + ior)
+    f0r = f0r * f0r
+    omc = 1.0 - ci
+    omc2 = omc * omc
+    fresnel_r = f0r + (1.0 - f0r) * (omc2 * omc2 * omc)
+    wodn = wox * nrx + woy * nry + woz * nrz
+    rlx = 2.0 * wodn * nrx - wox
+    rly = 2.0 * wodn * nry - woy
+    rlz = 2.0 * wodn * nrz - woz
+    take_reflect = (u_f < fresnel_r) | tir
+    ax = jnp.where(take_reflect, rlx, rfx)
+    ay = jnp.where(take_reflect, rly, rfy)
+    az = jnp.where(take_reflect, rlz, rfz)
+    auu, avv = _onb(ax, ay, az)
+    rqx, rqy, rqz = _basis_transform(auu, avv, (ax, ay, az),
+                                     dsx, dsy, dsz)
+    rwx, rwy, rwz = _norm3(rqx, rqy, rqz, 0.0)
+    refr_pdf = jnp.maximum(dsz / _PI, 1e-6)
+    ndl_r = jnp.maximum(jnp.abs(rwx * nx + rwy * ny + rwz * nz), 1e-6)
+    scale_r = refr_pdf / ndl_r
+
+    wix = jnp.where(is_refr, rwx, wix)
+    wiy = jnp.where(is_refr, rwy, wiy)
+    wiz = jnp.where(is_refr, rwz, wiz)
+    pdf = jnp.where(is_refr, refr_pdf, pdf)
+    fr = jnp.where(is_refr, jnp.where(take_reflect, 1.0, car) * scale_r, fr)
+    fg = jnp.where(is_refr, jnp.where(take_reflect, 1.0, cag) * scale_r, fg)
+    fb = jnp.where(is_refr, jnp.where(take_reflect, 1.0, cab) * scale_r, fb)
+    return wix, wiy, wiz, fr, fg, fb, pdf
+
+
+F32_EPS = 1.1920929e-07  # f32::EPSILON (reference src/material.rs:236)
+
+
+# --------------------------------------------------------------------------
 # The fused kernel
 # --------------------------------------------------------------------------
 
@@ -453,6 +620,280 @@ def _shadow_kernel(cfg, const_ref, frame_ref,
     out_r[:] = rad_r
     out_g[:] = rad_g
     out_b[:] = rad_b
+
+
+def _finish_kernel(cfg, flags_ref,
+                   ox, oy, oz, dx, dy, dz,
+                   tpx, tpy, tpz, rdx, rdy, rdz,
+                   px, py, pz, nx, ny, nz, offs, vol_trans,
+                   live_r, recv_r, sample_idx, pixel,
+                   kind_r, car_r, cag_r, cab_r, cbr_r, cbg_r, cbb_r,
+                   pow_r, ior_r,
+                   co_r, co_g, co_b, bg_r, bg_g, bg_b,
+                   al_in, no_x, no_y, no_z, ppdf_in,
+                   out_ox, out_oy, out_oz, out_dx, out_dy, out_dz,
+                   out_tx, out_ty, out_tz, out_rx, out_ry, out_rz,
+                   out_alive, out_ppdf,
+                   out_cr, out_cg, out_cb, out_br, out_bg, out_bb,
+                   out_al, out_nx, out_ny, out_nz):
+    """Steps 2 + 5-7 of a bounce (emission, scatter, roulette, AOVs,
+    termination) in one kernel; mirrors integrator.bounce step 2 +
+    _finish_bounce (reference src/integrator.rs:64-71, :134-203).
+
+    flags_ref: SMEM i32 [1, 8]: frame, set_fresnel, set_diffuse,
+    set_spec, set_roulette, roulette_on (depth > 2), terminate_all
+    (depth >= max_bounces), aov (depth == 0) — runtime scalars so one
+    Mosaic kernel serves every depth."""
+    (sampler, num_1d_sets, compat) = cfg
+    frame_u32 = flags_ref[0, 0].astype(jnp.uint32)
+    set_fres = flags_ref[0, 1]
+    set_diff = flags_ref[0, 2]
+    set_spec = flags_ref[0, 3]
+    set_rr = flags_ref[0, 4]
+    roulette_on = flags_ref[0, 5] != 0
+    terminate_all = flags_ref[0, 6] != 0
+    aov = flags_ref[0, 7] != 0
+
+    o_x, o_y, o_z = ox[:], oy[:], oz[:]
+    d_x, d_y, d_z = dx[:], dy[:], dz[:]
+    tp_x, tp_y, tp_z = tpx[:], tpy[:], tpz[:]
+    n_x, n_y, n_z = nx[:], ny[:], nz[:]
+    p_x, p_y, p_z = px[:], py[:], pz[:]
+    off = offs[:]
+    vtr = vol_trans[:]
+    live = live_r[:] != 0
+    receives = recv_r[:] != 0
+    sidx = sample_idx[:].astype(jnp.uint32)
+    pix = pixel[:].astype(jnp.uint32)
+    kind = kind_r[:]
+    car, cag, cab = car_r[:], cag_r[:], cab_r[:]
+    cbr, cbg, cbb = cbr_r[:], cbg_r[:], cbb_r[:]
+    pw = pow_r[:]
+    ior = ior_r[:]
+    wox, woy, woz = -d_x, -d_y, -d_z
+
+    # step 2: emission (Sky gradient / Emissive; reference
+    # src/material.rs:444-448, :489-520 + src/integrator.rs:64-71)
+    t_sky = 0.5 * (woy + 1.0)
+    is_sky = kind == SKY
+    is_em = kind == EMISSIVE
+    le_r = jnp.where(is_sky, car * (1.0 - t_sky) + cbr * t_sky,
+                     jnp.where(is_em, cbr, 0.0))
+    le_g = jnp.where(is_sky, cag * (1.0 - t_sky) + cbg * t_sky,
+                     jnp.where(is_em, cbg, 0.0))
+    le_b = jnp.where(is_sky, cab * (1.0 - t_sky) + cbb * t_sky,
+                     jnp.where(is_em, cbb, 0.0))
+    rad_r = rdx[:] + jnp.where(live, le_r * tp_x * vtr, 0.0)
+    rad_g = rdy[:] + jnp.where(live, le_g * tp_y * vtr, 0.0)
+    rad_b = rdz[:] + jnp.where(live, le_b * tp_z * vtr, 0.0)
+
+    # step 5: scatter + throughput + roulette
+    u_f = _sample_1d(sampler, frame_u32, set_fres, sidx, pix)
+    u_d1, u_d2 = _sample_2d(sampler, num_1d_sets, frame_u32, set_diff,
+                            sidx, pix)
+    u_s1, u_s2 = _sample_2d(sampler, num_1d_sets, frame_u32, set_spec,
+                            sidx, pix)
+    (wix, wiy, wiz, f_r, f_g, f_b, pdf) = _scatter(
+        compat, kind, car, cag, cab, pw, ior,
+        wox, woy, woz, n_x, n_y, n_z, u_f, u_d1, u_d2, u_s1, u_s2)
+    ndl = jnp.abs(wix * n_x + wiy * n_y + wiz * n_z)
+    scale = vtr * (ndl / pdf)
+    ntp_x = tp_x * scale * f_r
+    ntp_y = tp_y * scale * f_g
+    ntp_z = tp_z * scale * f_b
+
+    max_tp = jnp.maximum(tp_x, jnp.maximum(tp_y, tp_z))
+    roulette = jnp.where(roulette_on,
+                         jnp.maximum(1.0 - max_tp, 0.05), 0.0)
+    inv_keep = 1.0 / (1.0 - roulette)
+    ntp_x = ntp_x * inv_keep
+    ntp_y = ntp_y * inv_keep
+    ntp_z = ntp_z * inv_keep
+
+    u_r = _sample_1d(sampler, frame_u32, set_rr, sidx, pix)
+    rr_kill = u_r < roulette
+    terminate = terminate_all | rr_kill
+
+    # step 6: depth-0 AOVs
+    aov_set = aov & receives
+    al = jnp.where(aov_set, 1.0, al_in[:])
+    nout_x = jnp.where(aov_set, n_x, no_x[:])
+    nout_y = jnp.where(aov_set, n_y, no_y[:])
+    nout_z = jnp.where(aov_set, n_z, no_z[:])
+
+    # step 7: termination bookkeeping
+    non_recv = live & jnp.logical_not(receives)
+    bgsel = aov & non_recv
+    b_r = jnp.where(bgsel, rad_r, bg_r[:])
+    b_g = jnp.where(bgsel, rad_g, bg_g[:])
+    b_b = jnp.where(bgsel, rad_b, bg_b[:])
+    csel = jnp.logical_not(aov) & non_recv
+    c_r = jnp.where(csel, rad_r, co_r[:])
+    c_g = jnp.where(csel, rad_g, co_g[:])
+    c_b = jnp.where(csel, rad_b, co_b[:])
+    recv_done = receives & terminate
+    c_r = jnp.where(recv_done, rad_r, c_r)
+    c_g = jnp.where(recv_done, rad_g, c_g)
+    c_b = jnp.where(recv_done, rad_b, c_b)
+
+    survive = receives & jnp.logical_not(terminate)
+
+    ndw = n_x * wix + n_y * wiy + n_z * wiz
+    bias = jnp.where(jnp.signbit(ndw), -off, off)
+    no_ox = p_x + n_x * bias
+    no_oy = p_y + n_y * bias
+    no_oz = p_z + n_z * bias
+    tp_nan = (jnp.isnan(ntp_x) | jnp.isnan(ntp_y) | jnp.isnan(ntp_z))
+    fx = jnp.where(tp_nan, tp_x, ntp_x)
+    fy = jnp.where(tp_nan, tp_y, ntp_y)
+    fz = jnp.where(tp_nan, tp_z, ntp_z)
+    next_pdf = jnp.where(kind == REFRACTIVE, -1.0, pdf)
+
+    out_ox[:] = jnp.where(survive, no_ox, o_x)
+    out_oy[:] = jnp.where(survive, no_oy, o_y)
+    out_oz[:] = jnp.where(survive, no_oz, o_z)
+    out_dx[:] = jnp.where(survive, wix, d_x)
+    out_dy[:] = jnp.where(survive, wiy, d_y)
+    out_dz[:] = jnp.where(survive, wiz, d_z)
+    out_tx[:] = jnp.where(survive, fx, tp_x)
+    out_ty[:] = jnp.where(survive, fy, tp_y)
+    out_tz[:] = jnp.where(survive, fz, tp_z)
+    out_rx[:] = rad_r
+    out_ry[:] = rad_g
+    out_rz[:] = rad_b
+    out_alive[:] = survive.astype(jnp.int32)
+    out_ppdf[:] = jnp.where(survive, next_pdf, ppdf_in[:])
+    out_cr[:] = c_r
+    out_cg[:] = c_g
+    out_cb[:] = c_b
+    out_br[:] = b_r
+    out_bg[:] = b_g
+    out_bb[:] = b_b
+    out_al[:] = al
+    out_nx[:] = nout_x
+    out_ny[:] = nout_y
+    out_nz[:] = nout_z
+
+
+def finish_bounce_fused(data, static, settings, tables, depth: int,
+                        state, hit, info, mat, live, receives,
+                        radiance,
+                        block_rows: int = 64, interpret: bool = False):
+    """Fused steps 2+5-7: takes the pre-emission radiance (state.radiance
+    + the shadow kernel's delta) and returns the next PathState. The
+    emission term is folded in here (same formulas/streams as
+    integrator.bounce step 2 + _finish_bounce)."""
+    from rayn_tpu.render.integrator import PathState
+
+    s = settings
+    n = state.origin.shape[0]
+    block_rows = max(block_rows, 8)
+    block = block_rows * LANES
+    n_pad = -(-n // block) * block
+    rows = n_pad // LANES
+
+    if static.has_extinction:
+        vol_trans = jnp.exp(-data.volume_sigma_t * hit.t)
+    else:
+        vol_trans = jnp.ones((n,), jnp.float32)
+
+    cfg = (s.sampler, s.num_1d_sets,
+           (s.compat_spec_reflect, s.compat_spec_phi))
+    flags = jnp.asarray([0,  # frame placeholder, set below
+                         rng_mod.set1d_fresnel(s, depth),
+                         rng_mod.set2d_diffuse(s, depth),
+                         rng_mod.set2d_spec(s, depth),
+                         rng_mod.set1d_roulette(s, depth),
+                         1 if depth > 2 else 0,
+                         1 if depth >= s.max_bounces else 0,
+                         1 if depth == 0 else 0], jnp.int32)
+    flags = flags.at[0].set(tables.frame.astype(jnp.int32))
+    flags = flags.reshape(1, -1)
+
+    args = [
+        _to_rows(state.origin[:, 0], rows),
+        _to_rows(state.origin[:, 1], rows),
+        _to_rows(state.origin[:, 2], rows),
+        _to_rows(state.direction[:, 0], rows),
+        _to_rows(state.direction[:, 1], rows),
+        _to_rows(state.direction[:, 2], rows),
+        _to_rows(state.throughput[:, 0], rows),
+        _to_rows(state.throughput[:, 1], rows),
+        _to_rows(state.throughput[:, 2], rows),
+        _to_rows(radiance[:, 0], rows), _to_rows(radiance[:, 1], rows),
+        _to_rows(radiance[:, 2], rows),
+        _to_rows(info.point[:, 0], rows), _to_rows(info.point[:, 1], rows),
+        _to_rows(info.point[:, 2], rows),
+        _to_rows(info.normal[:, 0], rows),
+        _to_rows(info.normal[:, 1], rows),
+        _to_rows(info.normal[:, 2], rows),
+        _to_rows(info.offset_by, rows),
+        _to_rows(vol_trans, rows),
+        _to_rows(live.astype(jnp.int32), rows),
+        _to_rows(receives.astype(jnp.int32), rows),
+        _to_rows(state.sample_idx, rows), _to_rows(state.pixel, rows),
+        _to_rows(mat.kind, rows),
+        _to_rows(mat.color_a[:, 0], rows),
+        _to_rows(mat.color_a[:, 1], rows),
+        _to_rows(mat.color_a[:, 2], rows),
+        _to_rows(mat.color_b[:, 0], rows),
+        _to_rows(mat.color_b[:, 1], rows),
+        _to_rows(mat.color_b[:, 2], rows),
+        _to_rows(mat.power, rows), _to_rows(mat.ior, rows),
+        _to_rows(state.color_out[:, 0], rows),
+        _to_rows(state.color_out[:, 1], rows),
+        _to_rows(state.color_out[:, 2], rows),
+        _to_rows(state.bg_out[:, 0], rows),
+        _to_rows(state.bg_out[:, 1], rows),
+        _to_rows(state.bg_out[:, 2], rows),
+        _to_rows(state.alpha_out, rows),
+        _to_rows(state.normal_out[:, 0], rows),
+        _to_rows(state.normal_out[:, 1], rows),
+        _to_rows(state.normal_out[:, 2], rows),
+        _to_rows(state.prev_pdf, rows),
+    ]
+
+    grid = rows // block_rows
+    vspec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    smem_i = pl.BlockSpec((1, 8), lambda i: (0, 0),
+                          memory_space=pltpu.SMEM)
+    f32 = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
+
+    kernel = functools.partial(_finish_kernel, cfg)
+    outs = pl.pallas_call(
+        kernel, grid=(grid,),
+        in_specs=[smem_i] + [vspec] * len(args),
+        out_specs=(vspec,) * 24,
+        out_shape=(f32,) * 12 + (i32,) + (f32,) * 11,
+        interpret=interpret or INTERPRET,
+    )(flags, *args)
+
+    def flat(a):
+        return a.reshape(-1)[:n]
+
+    def vec3(a, b, c):
+        return jnp.stack([flat(a), flat(b), flat(c)], axis=-1)
+
+    (oox, ooy, ooz, odx, ody, odz, otx, oty, otz, orx, ory, orz,
+     oalive, oppdf, ocr, ocg, ocb, obr, obg, obb, oal,
+     onx, ony, onz) = outs
+    return PathState(
+        origin=vec3(oox, ooy, ooz),
+        direction=vec3(odx, ody, odz),
+        time=state.time,
+        radiance=vec3(orx, ory, orz),
+        throughput=vec3(otx, oty, otz),
+        pixel=state.pixel,
+        sample_idx=state.sample_idx,
+        alive=flat(oalive) != 0,
+        prev_pdf=flat(oppdf),
+        color_out=vec3(ocr, ocg, ocb),
+        bg_out=vec3(obr, obg, obb),
+        alpha_out=flat(oal),
+        normal_out=vec3(onx, ony, onz),
+    )
 
 
 def shadow_radiance(data, static, settings, tables, depth: int,

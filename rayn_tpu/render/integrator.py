@@ -137,6 +137,29 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
     else:
         vol_trans = jnp.ones((n,), jnp.float32)
 
+    # Fully fused bounce tail: shadow kernel (steps 3+4) + finish kernel
+    # (steps 2 and 5-7, emission folded in). Same formulas/streams;
+    # emission is added after the shadow delta instead of before (f32
+    # association only).
+    from rayn_tpu.ops import shade_pallas
+    _prog_probe = static.sdf_program(data) if static.has_sdf else None
+    if (s.use_fused_finish
+            and shade_pallas.fused_ok(s, static, data, _prog_probe)):
+        rad = state.radiance
+        if static.n_lights > 0:
+            rad = rad + shade_pallas.shadow_radiance(
+                data, static, s, tables, depth,
+                info.point, info.normal, info.offset_by,
+                state.origin, state.direction, hit.t,
+                state.throughput, vol_trans, mat, live, receives,
+                state.sample_idx, state.pixel,
+                *_equi_angular_samples(data, static, s, tables, state,
+                                       hit, depth),
+                block_rows=s.pallas_occl_block_rows)
+        return shade_pallas.finish_bounce_fused(
+            data, static, s, tables, depth, state, hit, info, mat,
+            live, receives, rad, block_rows=s.pallas_occl_block_rows)
+
     # 2. emission. With MIS, BSDF-hit emission of an emissive sphere
     # paired with a sphere light is power-heuristic weighted against the
     # NEE strategy that could have sampled the same emitter from the
@@ -176,35 +199,15 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
     # star): one big march kernel launch per bounce instead of 12, with
     # contributions applied afterwards as contrib * visibility.
     if static.n_lights > 0:
-        from rayn_tpu.ops import shade_pallas
-        prog_probe = (static.sdf_program(data) if static.has_sdf
-                      else None)
-        if shade_pallas.fused_ok(s, static, data, prog_probe):
-            vol_dists, vol_pdfs = [], []
-            if static.has_scattering and s.volume_marches:
-                for m in range(s.volume_marches):
-                    u_dist = rng.sample_1d(
-                        s, tables, rng.set1d_vol_dist(s, depth, m),
-                        state.sample_idx, state.pixel)
-                    vol_dists.append([])
-                    vol_pdfs.append([])
-                    for i in range(s.nee_light_samples):
-                        u_pick = rng.sample_1d(
-                            s, tables, rng.set1d_vol_pick(s, depth, m, i),
-                            state.sample_idx, state.pixel)
-                        lidx = _pick_lights(s, static, u_pick)
-                        lp = light_position_of(data, lidx, state.time)
-                        vdist, vpdf = lights.sample_equi_angular(
-                            u_dist, lp, state.origin, state.direction,
-                            hit.t)
-                        vol_dists[m].append(vdist)
-                        vol_pdfs[m].append(vpdf)
+        if shade_pallas.fused_ok(s, static, data, _prog_probe):
             radiance = radiance + shade_pallas.shadow_radiance(
                 data, static, s, tables, depth,
                 info.point, info.normal, info.offset_by,
                 state.origin, state.direction, hit.t,
                 state.throughput, vol_trans, mat, live, receives,
-                state.sample_idx, state.pixel, vol_dists, vol_pdfs,
+                state.sample_idx, state.pixel,
+                *_equi_angular_samples(data, static, s, tables, state,
+                                       hit, depth),
                 block_rows=s.pallas_occl_block_rows)
             return _finish_bounce(data, static, s, tables, state, depth,
                                   hit, info, mat, live, receives, wo,
@@ -307,6 +310,32 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
     return _finish_bounce(data, static, s, tables, state, depth, hit,
                           info, mat, live, receives, wo, vol_trans,
                           radiance)
+
+
+def _equi_angular_samples(data, static, s, tables, state, hit, depth):
+    """(vol_dists, vol_pdfs) nested [m][i] lists for the fused shadow
+    kernel — equi-angular distances need arctan2/tan, which Mosaic does
+    not lower, so they are computed here with exact XLA ops. The light
+    pick is recomputed bit-identically in-kernel (pure u32 arithmetic)."""
+    vol_dists, vol_pdfs = [], []
+    if static.has_scattering and s.volume_marches and static.n_lights > 0:
+        for m in range(s.volume_marches):
+            u_dist = rng.sample_1d(
+                s, tables, rng.set1d_vol_dist(s, depth, m),
+                state.sample_idx, state.pixel)
+            vol_dists.append([])
+            vol_pdfs.append([])
+            for i in range(s.nee_light_samples):
+                u_pick = rng.sample_1d(
+                    s, tables, rng.set1d_vol_pick(s, depth, m, i),
+                    state.sample_idx, state.pixel)
+                lidx = _pick_lights(s, static, u_pick)
+                lp = light_position_of(data, lidx, state.time)
+                vdist, vpdf = lights.sample_equi_angular(
+                    u_dist, lp, state.origin, state.direction, hit.t)
+                vol_dists[m].append(vdist)
+                vol_pdfs[m].append(vpdf)
+    return vol_dists, vol_pdfs
 
 
 def _finish_bounce(data, static, s, tables, state, depth, hit, info, mat,

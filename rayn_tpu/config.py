@@ -50,6 +50,31 @@ class RenderSettings:
     max_marches: int = 256
     max_vis_marches: int = 100
 
+    # --- shadow-march cost reduction (round-3 study; BASELINE.md) ----------
+    # Truncated-iteration distance estimator for *shadow* marches only
+    # (NEE + volume visibility tests). 0 = full DE (reference-faithful).
+    # The fractal shadow march is the dominant device-time term and its
+    # cost is linear in DE iterations; visibility needs far less DE
+    # precision than primary hits. Fidelity measured per-value in
+    # BASELINE.md (oracle RMSE + fused statistical gate). Only effective
+    # for SDF programs with a reduce_fn (e.g. mandelbox).
+    shadow_de_iterations: int = 0
+
+    # Scale on the shadow-march hit epsilons (eps_c = 1e-4*detail*scale,
+    # eps_l = 1e-5*detail*scale; reference src/sdf.rs:36,48). > 1
+    # terminates shadow marches earlier at the cost of slightly fattened
+    # occluders. 1.0 = reference-faithful.
+    shadow_eps_scale: float = 1.0
+
+    # Clip shadow segments to the scene's SDF bounding sphere
+    # (SceneStatic.sdf_bound_radius, set via SceneBuilder.set_sdf):
+    # march start jumps to the bounding-sphere entry and the segment end
+    # is clipped to the exit, so lanes whose segment misses the bounding
+    # volume skip the march entirely. Exact when the radius truly bounds
+    # the {|DE| < eps} shell (both march paths implement the identical
+    # clip, so fused == unfused lane-for-lane).
+    shadow_bv_clip: bool = True
+
     # Reconstruction filter importance-sampling table size
     # (reference src/filter.rs:187).
     filter_table_size: int = 512
@@ -139,9 +164,11 @@ class RenderSettings:
     # light pick, cone sampling, BSDF eval, transmittance, sphere
     # occlusion, SDF shadow march and radiance accumulation in ONE Pallas
     # kernel — the unfused path materializes ~40 XLA fusion results per
-    # bounce to HBM. Falls back automatically for scenes the kernel
-    # cannot host (animated lights/spheres, no component-form SDF,
-    # non-scalar SDF params, mis=True, relaxation, CPU backend).
+    # bounce to HBM. Falls back automatically (with a one-time warning)
+    # for scenes the kernel cannot host: no component-form SDF,
+    # non-scalar SDF params, march relaxation, > MAX_SMEM_KNOTS
+    # animation knots, CPU backend. MIS and animated light/sphere
+    # channels (<= 8 knots) run in-kernel since round 3.
     # Measured on v5e: 769 vs 883 ms per 1M-ray fractal pass; streams
     # identical, radiance equal up to f32 association (rare grazing
     # visibility flips; fused-vs-unfused image RMSE < 5e-4, tested).
@@ -152,6 +179,15 @@ class RenderSettings:
     # one Pallas kernel instead of the XLA elementwise-chain tail. Only
     # active when the fused-shadow gate passes (same eligibility).
     use_fused_finish: bool = True
+
+    # Whole-bounce-tail mega-kernel (shade_pallas.bounce_tail_fused):
+    # the shadow pipeline and the finish pipeline merged into ONE Pallas
+    # kernel — the two-kernel path re-reads ~17 per-lane arrays and
+    # round-trips the radiance delta through HBM between them. Same
+    # formulas/streams/association order (equivalence tested); only
+    # active when the fused-shadow gate passes and the scene has lights.
+    # Off = the two-kernel path (shadow_radiance + finish_bounce_fused).
+    use_fused_bounce_tail: bool = True
 
     # Fused closest-hit + shading-info Pallas kernel
     # (ops/intersect_pallas.py): sphere fold, sphere-bounded SDF march,

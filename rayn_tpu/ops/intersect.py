@@ -127,11 +127,19 @@ def test_occluded(data: SceneData, static: SceneStatic,
         occ = sphere_ops.occluded(start, end, centers, data.sphere_radii)
         occluded = occluded | jnp.any(occ, axis=1)
     if static.has_sdf:
-        prog = static.sdf_program(data)
+        # Shadow-march cost reduction (BASELINE.md round-3 study):
+        # truncated-iteration DE, scaled epsilons, bounding-volume clip —
+        # identical in the fused kernel (shade_pallas.shadow_radiance).
+        prog = static.sdf_program(data).reduced(
+            settings.shadow_de_iterations)
+        detail = settings.sdf_detail_scale * settings.shadow_eps_scale
+        bv_r = (float(static.sdf_bound_radius)
+                if settings.shadow_bv_clip else 0.0)
         import functools
         if (settings.use_pallas_occlusion and _pallas_ok(settings, prog)
                 and settings.occl_sort_steps > 0
                 and settings.march_relaxation == 1.0):
+            # study path; no bounding-volume clip implemented here
             occl_fn = functools.partial(
                 march_pallas.march_occlusion_sorted,
                 phase1_steps=settings.occl_sort_steps,
@@ -139,6 +147,7 @@ def test_occluded(data: SceneData, static: SceneStatic,
         elif (settings.use_pallas_occlusion and _pallas_ok(settings, prog)
                 and settings.occl_phase1_steps > 0
                 and settings.march_relaxation == 1.0):
+            # study path; no bounding-volume clip implemented here
             occl_fn = functools.partial(
                 march_pallas.march_occlusion_phased,
                 phase1_steps=settings.occl_phase1_steps,
@@ -147,13 +156,15 @@ def test_occluded(data: SceneData, static: SceneStatic,
             occl_fn = functools.partial(
                 march_pallas.march_occlusion,
                 block_rows=settings.pallas_occl_block_rows,
-                relax=settings.march_relaxation)
+                relax=settings.march_relaxation,
+                bound_radius=bv_r)
         else:
             occl_fn = functools.partial(
                 march_ops.march_occlusion,
-                relax=settings.march_relaxation)
+                relax=settings.march_relaxation,
+                bound_radius=bv_r)
         occ_sdf = occl_fn(
-            prog, start, end, settings.sdf_detail_scale,
+            prog, start, end, detail,
             settings.max_vis_marches,
             active=active & jnp.logical_not(occluded))
         occluded = occluded | occ_sdf

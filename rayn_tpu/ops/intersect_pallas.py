@@ -39,36 +39,48 @@ def fused_intersect_ok(settings, static, data, prog) -> bool:
     """Whether the fused intersect kernel can replace
     closest_hit + shading_info for this scene/settings. Scenes without
     an SDF are eligible (the kernel skips the march + tetra normal)."""
+    from rayn_tpu.ops.shade_pallas import _eligibility_reason, warn_fallback
     if not (settings.use_pallas and settings.use_fused_intersect):
-        return False
-    if settings.march_relaxation != 1.0:
         return False
     if jax.default_backend() == "cpu" and not INTERPRET:
         return False
-    if static.has_sdf:
-        if prog is None or prog.fn_c is None:
-            return False
-        if any(getattr(jnp.asarray(leaf), "shape", ()) != ()
-               for leaf in jax.tree.leaves(prog.params)):
-            return False
-    if static.n_spheres and data.sphere_centers.values.shape[1] != 1:
+    reason = _eligibility_reason(settings, static, data, prog)
+    if reason is not None:
+        warn_fallback("fused intersect kernel", reason)
         return False
     return True
 
 
 def _intersect_kernel(cfg, const_ref,
-                      ox, oy, oz, dx, dy, dz, habs, hlin, act,
+                      ox, oy, oz, dx, dy, dz, habs, hlin, act, time_r,
                       out_t, out_obj, out_px, out_py, out_pz,
                       out_nx, out_ny, out_nz, out_off, out_mat):
     """One block's closest-hit + shading info.
 
-    const_ref: SMEM f32 [1, n_leaves + 5*K]: SDF leaves then per-sphere
-    (center xyz, radius, material id as f32)."""
-    (fn_c, treedef, n_leaves, K, max_steps, detail, t_max0, sdf_mat) = cfg
+    const_ref: SMEM f32 [1, n_leaves + (3*TS+2)*K + 2]: SDF leaves then
+    per-sphere (center knots [TS, 3], radius, material id as f32), then
+    the sphere channel (t0, t1). Animated (TS > 1) centers are lerped at
+    each lane's time (mirrors scene.sphere_centers_at)."""
+    (fn_c, treedef, n_leaves, K, max_steps, detail, t_max0, sdf_mat,
+     TS) = cfg
+    from rayn_tpu.ops.shade_pallas import _interp3, _interp_weights
     prm = (_unflatten_params(const_ref, treedef, n_leaves)
            if fn_c is not None else None)
-    spheres = tuple(tuple(const_ref[0, n_leaves + k * 5 + j]
-                          for j in range(5)) for k in range(K))
+    sstride = 3 * TS + 2
+    if TS > 1:
+        st0 = const_ref[0, n_leaves + K * sstride]
+        st1 = const_ref[0, n_leaves + K * sstride + 1]
+        si0, sfrac = _interp_weights(time_r[:], st0, st1, TS)
+
+    def sphere_k(k):
+        base = n_leaves + k * sstride
+        knots = tuple(tuple(const_ref[0, base + 3 * j + c]
+                            for c in range(3)) for j in range(TS))
+        center = _interp3(knots, si0, sfrac) if TS > 1 else knots[0]
+        return center + (const_ref[0, base + 3 * TS],
+                         const_ref[0, base + 3 * TS + 1])
+
+    spheres = tuple(sphere_k(k) for k in range(K))
 
     o_x, o_y, o_z = ox[:], oy[:], oz[:]
     d_x, d_y, d_z = dx[:], dy[:], dz[:]
@@ -195,7 +207,7 @@ def _intersect_kernel(cfg, const_ref,
 
 
 def closest_hit_shading(data, static, settings, origin, direction,
-                        hps_abs, hps_lin, active,
+                        hps_abs, hps_lin, active, time,
                         block_rows: int = 64, interpret: bool = False):
     """Fused closest-hit + shading info.
 
@@ -210,6 +222,7 @@ def closest_hit_shading(data, static, settings, origin, direction,
     n_pad = -(-n // block) * block
     rows = n_pad // LANES
     K = int(static.n_spheres)
+    TS = int(data.sphere_centers.values.shape[1]) if K else 1
 
     params, treedef, n_leaves = _flatten_params(
         prog.params if prog is not None else {})
@@ -218,10 +231,13 @@ def closest_hit_shading(data, static, settings, origin, direction,
     pieces = [params.reshape(-1)] if n_leaves else []
     if K:
         pieces.append(jnp.concatenate([
-            data.sphere_centers.values[:, 0, :],     # [K, 3]
+            data.sphere_centers.values.reshape(K, 3 * TS),  # all knots
             data.sphere_radii[:, None],              # [K, 1]
             data.sphere_mats.astype(jnp.float32)[:, None],
         ], axis=-1).reshape(-1))
+        pieces.append(jnp.stack([
+            jnp.asarray(data.sphere_centers.t0, jnp.float32),
+            jnp.asarray(data.sphere_centers.t1, jnp.float32)]))
     if not pieces:
         pieces = [jnp.zeros((1,), jnp.float32)]  # SMEM needs >= 1 entry
     const = jnp.concatenate(pieces).reshape(1, -1)
@@ -229,7 +245,8 @@ def closest_hit_shading(data, static, settings, origin, direction,
     cfg = (prog.fn_c if prog is not None else None,
            treedef, n_leaves, K, settings.max_marches,
            settings.sdf_detail_scale, 2.0 * settings.world_radius,
-           int(static.sdf_mat) if static.has_sdf else 0)
+           int(static.sdf_mat) if static.has_sdf else 0,
+           TS)
 
     args = [
         _to_rows(origin[:, 0], rows), _to_rows(origin[:, 1], rows),
@@ -238,6 +255,7 @@ def closest_hit_shading(data, static, settings, origin, direction,
         _to_rows(direction[:, 2], rows),
         _to_rows(hps_abs, rows), _to_rows(hps_lin, rows),
         _to_rows(active.astype(jnp.int32), rows),
+        _to_rows(time, rows),
     ]
     grid = rows // block_rows
     vspec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
@@ -250,7 +268,7 @@ def closest_hit_shading(data, static, settings, origin, direction,
     kernel = functools.partial(_intersect_kernel, cfg)
     (t, obj, px, py, pz, nx, ny, nz, off, mat) = pl.pallas_call(
         kernel, grid=(grid,),
-        in_specs=[smem] + [vspec] * 9,
+        in_specs=[smem] + [vspec] * 10,
         out_specs=(vspec,) * 10,
         out_shape=(f32, i32, f32, f32, f32, f32, f32, f32, f32, i32),
         interpret=interpret or INTERPRET,

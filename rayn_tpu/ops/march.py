@@ -126,7 +126,8 @@ def march(sdf: SdfProgram, origin: jnp.ndarray, direction: jnp.ndarray,
 def march_occlusion(sdf: SdfProgram, start: jnp.ndarray, end: jnp.ndarray,
                     detail_scale: float, max_steps: int,
                     active: jnp.ndarray | None = None,
-                    relax: float = 1.0) -> jnp.ndarray:
+                    relax: float = 1.0,
+                    bound_radius: float = 0.0) -> jnp.ndarray:
     """Shadow march; returns bool [N]: True where the segment is occluded
     by the SDF.
 
@@ -135,6 +136,14 @@ def march_occlusion(sdf: SdfProgram, start: jnp.ndarray, end: jnp.ndarray,
     - the NaN mask being computed only from the distance at the start point
     - hit threshold max(1e-4*detail, 1e-5*detail*t) inside the loop
     - a lane counts as occluded iff it hit *and* never marched past the end
+
+    bound_radius > 0 declares an origin-centered sphere that contains the
+    SDF's entire hit shell; segments are then clipped to it: lanes that
+    miss the sphere skip the march, the march start jumps to the sphere
+    entry, and the effective segment end is the sphere exit. Verdicts
+    are unchanged for a correct radius (no hit can occur outside it);
+    only the step sequence differs. The Pallas twin implements the
+    identical clip, so fused == unfused lane-for-lane.
     """
     seg = end - start
     max_dist = jnp.sqrt(jnp.sum(seg * seg, axis=-1))
@@ -146,6 +155,22 @@ def march_occlusion(sdf: SdfProgram, start: jnp.ndarray, end: jnp.ndarray,
     if active is not None:
         nan_mask = jnp.where(active, nan_mask, True)  # inactive -> not occluded
         hit0 = jnp.where(active, hit0, False)
+
+    if bound_radius > 0.0:
+        b = jnp.sum(start * d, axis=-1)
+        c = jnp.sum(start * start, axis=-1) - bound_radius * bound_radius
+        disc = b * b - c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t_exit = -b + sq
+        bv_miss = (disc <= 0.0) | (t_exit <= 0.0)
+        nan_mask = nan_mask | bv_miss      # -> done at step 0, not occluded
+        hit0 = hit0 & jnp.logical_not(bv_miss)
+        max_dist = jnp.minimum(max_dist, t_exit)
+        t_enter = jnp.maximum(-b - sq, 0.0)
+        # both dist0 (a DE lower bound) and t_enter (exact free distance
+        # to the bounding sphere) under-estimate the surface distance;
+        # start from the larger
+        dist0 = jnp.maximum(dist0, t_enter)
 
     eps_c = 1e-4 * detail_scale
     eps_l = 1e-5 * detail_scale

@@ -244,7 +244,7 @@ def march_sorted(prog: SdfProgram, origin, direction, t_max,
 
 
 def _occl_kernel(fn_c, treedef, n_leaves, max_steps, eps_c, eps_l, relax,
-                 params_ref, sx, sy, sz, ex, ey, ez, act, out):
+                 bound_radius, params_ref, sx, sy, sz, ex, ey, ez, act, out):
     prm = _unflatten_params(params_ref, treedef, n_leaves)
     s_x, s_y, s_z = sx[:], sy[:], sz[:]
     seg_x = ex[:] - s_x
@@ -260,6 +260,20 @@ def _occl_kernel(fn_c, treedef, n_leaves, max_steps, eps_c, eps_l, relax,
     # Mosaic cannot carry vector<i1> through scf.while — keep the hit mask
     # as an int32 vector in the carry.
     hit0 = ((dist0 < 1e-4) & active).astype(jnp.int32)
+
+    if bound_radius > 0.0:
+        # Bounding-volume clip (mirrors march.march_occlusion): miss ->
+        # skip, start jumps to entry, end clipped to exit.
+        b = s_x * d_x + s_y * d_y + s_z * d_z
+        c = s_x * s_x + s_y * s_y + s_z * s_z - bound_radius * bound_radius
+        disc = b * b - c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t_exit = -b + sq
+        bv_miss = (disc <= 0.0) | (t_exit <= 0.0)
+        nan_mask = nan_mask | bv_miss
+        hit0 = jnp.where(bv_miss, 0, hit0)
+        max_dist = jnp.minimum(max_dist, t_exit)
+        dist0 = jnp.maximum(dist0, jnp.maximum(-b - sq, 0.0))
 
     if relax == 1.0:
         def cond(state):
@@ -748,10 +762,12 @@ def march_occlusion_sorted(prog: SdfProgram, start, end,
 def march_occlusion(prog: SdfProgram, start, end, detail_scale: float,
                     max_steps: int, active,
                     block_rows: int = DEFAULT_BLOCK_ROWS,
-                    interpret: bool = False, relax: float = 1.0):
+                    interpret: bool = False, relax: float = 1.0,
+                    bound_radius: float = 0.0):
     """Pallas twin of rayn_tpu.ops.march.march_occlusion (reference
     src/sdf.rs:25-57), including the over-relaxed variant (Keinert)
-    with its conservative overshoot fallback. Returns bool [N]."""
+    with its conservative overshoot fallback and the optional
+    bounding-volume segment clip. Returns bool [N]."""
     n = start.shape[0]
     block_rows = max(block_rows, 8)  # Mosaic minimum (8, 128) tiles
     block = block_rows * LANES
@@ -771,7 +787,7 @@ def march_occlusion(prog: SdfProgram, start, end, detail_scale: float,
                          memory_space=pltpu.VMEM)
     kernel = functools.partial(_occl_kernel, prog.fn_c, treedef, n_leaves,
                                max_steps, 1e-4 * detail_scale,
-                               1e-5 * detail_scale, relax)
+                               1e-5 * detail_scale, relax, bound_radius)
     out = pl.pallas_call(
         kernel,
         grid=(grid,),

@@ -29,16 +29,32 @@ class SdfProgram(NamedTuple):
     """Static dist function + pytree of parameters.
 
     fn_c is the component-wise twin of fn (None disables the Pallas fast
-    path for this program; the jnp march still works)."""
+    path for this program; the jnp march still works).
+
+    reduce_fn (optional): a factory `iterations -> (fn, fn_c)` producing
+    a cheaper, lower-fidelity variant of the distance estimator — e.g. a
+    truncated-iteration MandelBox DE. Used for *shadow* marches only
+    (RenderSettings.shadow_de_iterations): visibility tests tolerate far
+    less DE precision than primary hits, and the DE cost is linear in
+    iterations (the fractal shadow march is the dominant device-time
+    term, BASELINE.md round-2 attribution)."""
     fn: DistFn
     params: Any
     fn_c: DistFnC | None = None
+    reduce_fn: Any = None
 
     def dist(self, p: jnp.ndarray) -> jnp.ndarray:
         return self.fn(self.params, p)
 
     def dist_c(self, x, y, z):
         return self.fn_c(self.params, x, y, z)
+
+    def reduced(self, iterations: int) -> "SdfProgram":
+        """The reduce_fn variant at `iterations` (self if unsupported)."""
+        if self.reduce_fn is None or not iterations:
+            return self
+        fn, fn_c = self.reduce_fn(iterations)
+        return SdfProgram(fn, self.params, fn_c)
 
 
 # ---------------------------------------------------------------------------
@@ -68,30 +84,34 @@ def mandelbox(iterations: int, box_fold_l: float, sphere_min_rad: float,
         fixed_rad_sq=jnp.float32(sphere_fixed_rad * sphere_fixed_rad),
     )
 
-    def fn_c(prm: MandelBoxParams, x, y, z):
-        ox, oy, oz = x, y, z
-        dr = jnp.ones_like(x)
-        for _ in range(iterations):
-            # box fold: clamp(p, -l, l) * 2 - p
-            x = jnp.clip(x, -prm.box_l, prm.box_l) * 2.0 - x
-            y = jnp.clip(y, -prm.box_l, prm.box_l) * 2.0 - y
-            z = jnp.clip(z, -prm.box_l, prm.box_l) * 2.0 - z
-            # sphere fold
-            r2 = x * x + y * y + z * z
-            mul = jnp.maximum(1.0, prm.fixed_rad_sq /
-                              jnp.maximum(prm.min_rad_sq, r2))
-            x, y, z = x * mul, y * mul, z * mul
-            dr = dr * mul
-            x = x * prm.scale + ox
-            y = y * prm.scale + oy
-            z = z * prm.scale + oz
-            dr = -dr * prm.scale + 1.0
-        return jnp.sqrt(x * x + y * y + z * z) / jnp.abs(dr)
+    def make(iters: int):
+        def fn_c(prm: MandelBoxParams, x, y, z):
+            ox, oy, oz = x, y, z
+            dr = jnp.ones_like(x)
+            for _ in range(iters):
+                # box fold: clamp(p, -l, l) * 2 - p
+                x = jnp.clip(x, -prm.box_l, prm.box_l) * 2.0 - x
+                y = jnp.clip(y, -prm.box_l, prm.box_l) * 2.0 - y
+                z = jnp.clip(z, -prm.box_l, prm.box_l) * 2.0 - z
+                # sphere fold
+                r2 = x * x + y * y + z * z
+                mul = jnp.maximum(1.0, prm.fixed_rad_sq /
+                                  jnp.maximum(prm.min_rad_sq, r2))
+                x, y, z = x * mul, y * mul, z * mul
+                dr = dr * mul
+                x = x * prm.scale + ox
+                y = y * prm.scale + oy
+                z = z * prm.scale + oz
+                dr = -dr * prm.scale + 1.0
+            return jnp.sqrt(x * x + y * y + z * z) / jnp.abs(dr)
 
-    def fn(prm: MandelBoxParams, p: jnp.ndarray) -> jnp.ndarray:
-        return fn_c(prm, p[..., 0], p[..., 1], p[..., 2])
+        def fn(prm: MandelBoxParams, p: jnp.ndarray) -> jnp.ndarray:
+            return fn_c(prm, p[..., 0], p[..., 1], p[..., 2])
 
-    return SdfProgram(fn, params, fn_c)
+        return fn, fn_c
+
+    fn, fn_c = make(iterations)
+    return SdfProgram(fn, params, fn_c, reduce_fn=make)
 
 
 # ---------------------------------------------------------------------------

@@ -58,6 +58,48 @@ _F0 = 0.04
 # backend gate is bypassed). Set by tests only.
 INTERPRET = False
 
+# Max animation-channel knots the fused kernels can host in SMEM (each
+# knot costs 3 scalars per light/sphere plus a fused select per use; 8
+# knots measured free on the spheres config — the march dominates).
+MAX_SMEM_KNOTS = 8
+
+# De-duped eligibility-cliff warnings: silently dropping to the ~2x
+# slower unfused path (round-2 verdict: the cliffs were invisible).
+_WARNED: set = set()
+
+
+def warn_fallback(feature: str, reason: str) -> None:
+    """Warn (once per feature+reason per process) that a fused fast path
+    is unavailable and the unfused path will be used."""
+    key = (feature, reason)
+    if key in _WARNED:
+        return
+    _WARNED.add(key)
+    import warnings
+    warnings.warn(
+        f"rayn_tpu: {feature} unavailable ({reason}); falling back to "
+        "the ~2x slower unfused path for this render",
+        RuntimeWarning, stacklevel=3)
+
+
+def _eligibility_reason(settings, static, data, prog) -> str | None:
+    """Scene/settings facts that keep the fused kernels off (shared by
+    fused_ok and fused_intersect_ok); None = eligible."""
+    if settings.march_relaxation != 1.0:
+        return "march_relaxation != 1.0 (relaxed march carries extra state)"
+    if static.has_sdf:
+        if prog is None or prog.fn_c is None:
+            return "SDF program has no component-form fn_c"
+        if any(getattr(jnp.asarray(leaf), "shape", ()) != ()
+               for leaf in jax.tree.leaves(prog.params)):
+            return "SDF program has non-scalar parameter leaves"
+    if data.light_pos.values.shape[1] > MAX_SMEM_KNOTS:
+        return (f"light channels have > {MAX_SMEM_KNOTS} keyframe knots")
+    if (static.n_spheres
+            and data.sphere_centers.values.shape[1] > MAX_SMEM_KNOTS):
+        return (f"sphere channels have > {MAX_SMEM_KNOTS} keyframe knots")
+    return None
+
 
 def fused_ok(settings, static, data, prog) -> bool:
     """Whether the fused shadow kernel can replace the unfused path.
@@ -65,20 +107,11 @@ def fused_ok(settings, static, data, prog) -> bool:
     shadow march and tests spheres only)."""
     if not (settings.use_pallas_occlusion and settings.use_fused_shadows):
         return False
-    if settings.mis or settings.march_relaxation != 1.0:
-        return False
     if jax.default_backend() == "cpu" and not INTERPRET:
         return False
-    if static.has_sdf:
-        if prog is None or prog.fn_c is None:
-            return False
-        if any(getattr(jnp.asarray(leaf), "shape", ()) != ()
-               for leaf in jax.tree.leaves(prog.params)):
-            return False
-    # constant channels only (1 knot): light + sphere positions
-    if data.light_pos.values.shape[1] != 1:
-        return False
-    if static.n_spheres and data.sphere_centers.values.shape[1] != 1:
+    reason = _eligibility_reason(settings, static, data, prog)
+    if reason is not None:
+        warn_fallback("fused shadow/finish kernels", reason)
         return False
     return True
 
@@ -147,14 +180,40 @@ def _sample_2d(sampler, num_1d_sets, frame_u32, set_id, sample_idx, pixel):
     return jnp.mod(bu + scr_u, 1.0), jnp.mod(bv + scr_v, 1.0)
 
 
+def _interp_weights(t, t0, t1, T):
+    """Per-lane knot interpolation state for a T-knot uniform channel;
+    mirrors scene.animation.sample_batched_at (u clip, floor, clamp)."""
+    u = (t - t0) / (t1 - t0) * float(T - 1)
+    u = jnp.clip(u, 0.0, float(T - 1))
+    i0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, T - 2)
+    frac = u - i0.astype(jnp.float32)
+    return i0, frac
+
+def _interp3(knots, i0, frac):
+    """Lerp a 3-vector channel given per-knot (x, y, z) scalar triples
+    (SMEM loads) and _interp_weights state. T == 1 returns the constant."""
+    T = len(knots)
+    if T == 1:
+        return knots[0]
+    x = y = z = 0.0
+    for j in range(T - 1):
+        m = (i0 == j).astype(jnp.float32)
+        w0 = m * (1.0 - frac)
+        w1 = m * frac
+        x = x + w0 * knots[j][0] + w1 * knots[j + 1][0]
+        y = y + w0 * knots[j][1] + w1 * knots[j + 1][1]
+        z = z + w0 * knots[j][2] + w1 * knots[j + 1][2]
+    return x, y, z
+
+
 def _pick_light(u, lights):
-    """One-hot select of (pos, rad, em) over the per-light scalar tuples
-    (SMEM loads). Mirrors integrator._pick_lights + _gather_lights for
-    constant channels."""
+    """One-hot select of (pos, rad, em, paired) over the per-light scalar
+    tuples (SMEM loads). Mirrors integrator._pick_lights + _gather_lights
+    for constant channels."""
     n_l = len(lights)
     idx = jnp.clip(jnp.floor(u * n_l).astype(jnp.int32), 0, n_l - 1)
-    px = py = pz = rad = er = eg = eb = 0.0
-    for l, (lx, ly, lz, lr, lem_r, lem_g, lem_b) in enumerate(lights):
+    px = py = pz = rad = er = eg = eb = paired = 0.0
+    for l, (lx, ly, lz, lr, lem_r, lem_g, lem_b, lpair) in enumerate(lights):
         m = (idx == l).astype(jnp.float32)
         px = px + m * lx
         py = py + m * ly
@@ -163,7 +222,8 @@ def _pick_light(u, lights):
         er = er + m * lem_r
         eg = eg + m * lem_g
         eb = eb + m * lem_b
-    return px, py, pz, rad, er, eg, eb
+        paired = paired + m * lpair
+    return px, py, pz, rad, er, eg, eb, paired
 
 
 def _sample_cone(u1, u2, lx, ly, lz, lrad, px, py, pz):
@@ -235,6 +295,45 @@ def _eval_f(kind, car, cag, cab, power, wox, woy, woz, wix, wiy, wiz,
     return chan(car), chan(cag), chan(cab)
 
 
+def _power_heuristic(nf, f_pdf, ng, g_pdf):
+    """Balance-power MIS heuristic; mirrors utils.sampling.power_heuristic
+    (reference src/math.rs:193-199)."""
+    f = nf * f_pdf
+    g = ng * g_pdf
+    return f * f / (f * f + g * g)
+
+
+def _eval_pdf(compat_reflect, kind, power, wox, woy, woz,
+              wix, wiy, wiz, nx, ny, nz):
+    """Solid-angle pdf that _scatter would have sampled wi; mirrors
+    ops.bsdf.eval_pdf (used for MIS weights only)."""
+    cos_i = jnp.maximum(0.0, wix * nx + wiy * ny + wiz * nz)
+    lambert_pdf = cos_i / _PI
+    diffuse_pdf = jnp.maximum(1e-5, lambert_pdf)
+
+    won = wox * nx + woy * ny + woz * nz
+    if compat_reflect:
+        rx, ry, rz = (wox - 2.0 * won * nx, woy - 2.0 * won * ny,
+                      woz - 2.0 * won * nz)
+    else:
+        rx, ry, rz = (2.0 * won * nx - wox, 2.0 * won * ny - woy,
+                      2.0 * won * nz - woz)
+    cos_alpha = jnp.maximum(0.0, rx * wix + ry * wiy + rz * wiz)
+    cos_alpha_pow = jnp.maximum(jnp.power(cos_alpha, power), F32_EPS)
+    spec_pdf = (power + 1.0) / _TWO_PI * cos_alpha_pow
+
+    cos = jnp.abs(won)
+    one_m = 1.0 - cos
+    om2 = one_m * one_m
+    fresnel = _F0 + (1.0 - _F0) * (om2 * om2 * one_m)
+    diel_pdf = fresnel * spec_pdf + (1.0 - fresnel) * diffuse_pdf
+
+    pdf = jnp.where(kind == LAMBERT, lambert_pdf, 0.0)
+    pdf = jnp.where(kind == DIELECTRIC, diel_pdf, pdf)
+    pdf = jnp.where(kind == METALLIC, spec_pdf, pdf)
+    return pdf
+
+
 def _sphere_occluded(spheres, sx, sy, sz, ex, ey, ez):
     """Any-sphere segment occlusion; mirrors ops.spheres.occluded
     (reference src/sphere.rs:24-46). Static python loop over spheres."""
@@ -258,9 +357,10 @@ def _sphere_occluded(spheres, sx, sy, sz, ex, ey, ez):
 
 
 def _sdf_occluded(fn_c, prm, max_steps, eps_c, eps_l,
-                  sx, sy, sz, ex, ey, ez, active):
+                  sx, sy, sz, ex, ey, ez, active, bound_radius=0.0):
     """Segment occlusion march; mirrors march_pallas._occl_kernel
-    relax==1 (reference src/sdf.rs:25-57). Returns bool occluded."""
+    relax==1 (reference src/sdf.rs:25-57), including the optional
+    bounding-volume segment clip. Returns bool occluded."""
     seg_x, seg_y, seg_z = ex - sx, ey - sy, ez - sz
     max_dist = jnp.sqrt(seg_x * seg_x + seg_y * seg_y + seg_z * seg_z)
     inv = 1.0 / max_dist
@@ -269,6 +369,18 @@ def _sdf_occluded(fn_c, prm, max_steps, eps_c, eps_l,
     dist0 = fn_c(prm, sx, sy, sz)
     nan_mask = jnp.isnan(dist0) | jnp.logical_not(active)
     hit0 = ((dist0 < 1e-4) & active).astype(jnp.int32)
+
+    if bound_radius > 0.0:
+        b = sx * d_x + sy * d_y + sz * d_z
+        c = sx * sx + sy * sy + sz * sz - bound_radius * bound_radius
+        disc = b * b - c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t_exit = -b + sq
+        bv_miss = (disc <= 0.0) | (t_exit <= 0.0)
+        nan_mask = nan_mask | bv_miss
+        hit0 = jnp.where(bv_miss, 0, hit0)
+        max_dist = jnp.minimum(max_dist, t_exit)
+        dist0 = jnp.maximum(dist0, jnp.maximum(-b - sq, 0.0))
 
     def cond(state):
         step, _, _, stop = state
@@ -465,7 +577,7 @@ def _shadow_kernel(cfg, const_ref, frame_ref,
                    ox, oy, oz, dx, dy, dz,
                    tpx, tpy, tpz, vol_trans,
                    kind, car, cag, cab, power,
-                   sample_idx, pixel, live, recv,
+                   sample_idx, pixel, live, recv, time_r,
                    *vol_args):
     """One block's full per-bounce shadow pipeline.
 
@@ -484,18 +596,34 @@ def _shadow_kernel(cfg, const_ref, frame_ref,
     atan2) followed by the three radiance-delta output refs."""
     (fn_c, treedef, n_leaves, sampler, num_1d_sets, L, VM, NL, K,
      has_ext, has_scat, eps_c, eps_l, max_steps,
-     correction, vm_correction) = cfg
+     correction, vm_correction, bv_r, mis, compat_reflect,
+     TL, TS) = cfg
     prm = (_unflatten_params(const_ref, treedef, n_leaves)
            if fn_c is not None else None)
+    # per-light: TL*3 position knots, radius, emission rgb, paired flag
     base = n_leaves
-    lights = tuple(tuple(const_ref[0, base + l * 7 + j] for j in range(7))
-                   for l in range(NL))
-    base = base + 7 * NL
-    spheres = tuple(tuple(const_ref[0, base + k * 4 + j] for j in range(4))
-                    for k in range(K))
-    base = base + 4 * K
+    lstride = 3 * TL + 5
+    light_knots = tuple(
+        tuple(tuple(const_ref[0, base + l * lstride + 3 * j + c]
+                    for c in range(3)) for j in range(TL))
+        for l in range(NL))
+    light_tail = tuple(
+        tuple(const_ref[0, base + l * lstride + 3 * TL + j]
+              for j in range(5)) for l in range(NL))
+    base = base + lstride * NL
+    # per-sphere: TS*3 center knots, radius
+    sstride = 3 * TS + 1
+    sphere_knots = tuple(
+        tuple(tuple(const_ref[0, base + k * sstride + 3 * j + c]
+                    for c in range(3)) for j in range(TS))
+        for k in range(K))
+    sphere_rad = tuple(const_ref[0, base + k * sstride + 3 * TS]
+                       for k in range(K))
+    base = base + sstride * K
     sigma_t = const_ref[0, base]
     sigma_s = const_ref[0, base + 1]
+    lt0, lt1 = const_ref[0, base + 2], const_ref[0, base + 3]
+    st0, st1 = const_ref[0, base + 4], const_ref[0, base + 5]
     frame_u32 = frame_ref[0, 0].astype(jnp.uint32)
     set_pick = tuple(frame_ref[0, 1 + i] for i in range(L))
     set_nee = tuple(frame_ref[0, 1 + L + i] for i in range(L))
@@ -522,6 +650,23 @@ def _shadow_kernel(cfg, const_ref, frame_ref,
     alive = live[:] != 0
     receives = recv[:] != 0
     wo_x, wo_y, wo_z = -d_x, -d_y, -d_z
+    tm = time_r[:]
+
+    # Animated channels: interpolate positions/centers at each lane's
+    # time ONCE per kernel (reused by every NEE + volume sample). For
+    # 1-knot (constant) channels this collapses to the SMEM scalars.
+    if TL > 1:
+        li0, lfrac = _interp_weights(tm, lt0, lt1, TL)
+    lights = tuple(
+        _interp3(light_knots[l], li0, lfrac) + light_tail[l]
+        if TL > 1 else (light_knots[l][0] + light_tail[l])
+        for l in range(NL))
+    if TS > 1:
+        si0, sfrac = _interp_weights(tm, st0, st1, TS)
+    spheres = tuple(
+        _interp3(sphere_knots[k], si0, sfrac) + (sphere_rad[k],)
+        if TS > 1 else (sphere_knots[k][0] + (sphere_rad[k],))
+        for k in range(K))
 
     n_vol = 2 * VM * L
     out_r, out_g, out_b = vol_args[n_vol:n_vol + 3]
@@ -537,7 +682,7 @@ def _shadow_kernel(cfg, const_ref, frame_ref,
     # --- NEE surface samples (integrator step 3) ---
     for i in range(L):
         u_pick = _sample_1d(sampler, frame_u32, set_pick[i], sidx, pix)
-        lx, ly, lz, lrad, er, eg, eb = _pick_light(u_pick, lights)
+        lx, ly, lz, lrad, er, eg, eb, lpair = _pick_light(u_pick, lights)
         u1, u2 = _sample_2d(sampler, num_1d_sets, frame_u32, set_nee[i],
                             sidx, pix)
         ex, ey, ez, pdf = _sample_cone(u1, u2, lx, ly, lz, lrad,
@@ -563,12 +708,24 @@ def _shadow_kernel(cfg, const_ref, frame_ref,
         kr = jnp.where(receives, er * fr * ndl * scale * tp_x, 0.0)
         kg = jnp.where(receives, eg * fg * ndl * scale * tp_y, 0.0)
         kb = jnp.where(receives, eb * fb * ndl * scale * tp_z, 0.0)
+        if mis:
+            # Weight NEE against the BSDF strategy for *paired* lights
+            # only (mirrors integrator.bounce step 3 mis block; the
+            # reference's dead power_heuristic src/math.rs:193-199).
+            p_bsdf = _eval_pdf(compat_reflect, mkind, pw,
+                               wo_x, wo_y, wo_z, wix, wiy, wiz,
+                               n_x, n_y, n_z)
+            w_light = _power_heuristic(float(L), pdf / NL, 1.0, p_bsdf)
+            w = jnp.where(lpair > 0.0, w_light, 1.0)
+            kr = kr * w
+            kg = kg * w
+            kb = kb * w
         worth = receives & ((kr != 0.0) | (kg != 0.0) | (kb != 0.0))
         blocked = _sphere_occluded(spheres, sx, sy, sz, ex, ey, ez)
         if fn_c is not None:
             blocked = blocked | _sdf_occluded(
                 fn_c, prm, max_steps, eps_c, eps_l, sx, sy, sz,
-                ex, ey, ez, worth & jnp.logical_not(blocked))
+                ex, ey, ez, worth & jnp.logical_not(blocked), bv_r)
         vis = jnp.logical_not(blocked).astype(jnp.float32) \
             * worth.astype(jnp.float32)
         rad_r = rad_r + kr * vis
@@ -582,7 +739,8 @@ def _shadow_kernel(cfg, const_ref, frame_ref,
             for i in range(L):
                 u_pick = _sample_1d(sampler, frame_u32, set_vol_pick[m][i],
                                     sidx, pix)
-                lx, ly, lz, lrad, er, eg, eb = _pick_light(u_pick, lights)
+                (lx, ly, lz, lrad, er, eg, eb,
+                 _lpair) = _pick_light(u_pick, lights)
                 spx = o_x + vd[m][i] * d_x
                 spy = o_y + vd[m][i] * d_y
                 spz = o_z + vd[m][i] * d_z
@@ -610,7 +768,7 @@ def _shadow_kernel(cfg, const_ref, frame_ref,
                     blocked = blocked | _sdf_occluded(
                         fn_c, prm, max_steps, eps_c, eps_l,
                         spx, spy, spz, ex, ey, ez,
-                        worth & jnp.logical_not(blocked))
+                        worth & jnp.logical_not(blocked), bv_r)
                 vis = jnp.logical_not(blocked).astype(jnp.float32) \
                     * worth.astype(jnp.float32)
                 rad_r = rad_r + kr * vis
@@ -622,7 +780,7 @@ def _shadow_kernel(cfg, const_ref, frame_ref,
     out_b[:] = rad_b
 
 
-def _finish_kernel(cfg, flags_ref,
+def _finish_kernel(cfg, flags_ref, mis_ref,
                    ox, oy, oz, dx, dy, dz,
                    tpx, tpy, tpz, rdx, rdy, rdz,
                    px, py, pz, nx, ny, nz, offs, vol_trans,
@@ -630,7 +788,7 @@ def _finish_kernel(cfg, flags_ref,
                    kind_r, car_r, cag_r, cab_r, cbr_r, cbg_r, cbb_r,
                    pow_r, ior_r,
                    co_r, co_g, co_b, bg_r, bg_g, bg_b,
-                   al_in, no_x, no_y, no_z, ppdf_in,
+                   al_in, no_x, no_y, no_z, ppdf_in, obj_r, time_r,
                    out_ox, out_oy, out_oz, out_dx, out_dy, out_dz,
                    out_tx, out_ty, out_tz, out_rx, out_ry, out_rz,
                    out_alive, out_ppdf,
@@ -640,11 +798,15 @@ def _finish_kernel(cfg, flags_ref,
     termination) in one kernel; mirrors integrator.bounce step 2 +
     _finish_bounce (reference src/integrator.rs:64-71, :134-203).
 
-    flags_ref: SMEM i32 [1, 8]: frame, set_fresnel, set_diffuse,
+    flags_ref: SMEM i32 [1, 9]: frame, set_fresnel, set_diffuse,
     set_spec, set_roulette, roulette_on (depth > 2), terminate_all
-    (depth >= max_bounces), aov (depth == 0) — runtime scalars so one
-    Mosaic kernel serves every depth."""
-    (sampler, num_1d_sets, compat) = cfg
+    (depth >= max_bounces), aov (depth == 0), mis_on (mis and depth > 0)
+    — runtime scalars so one Mosaic kernel serves every depth.
+    mis_ref: SMEM f32 [1, K*(2 + 3*TL) + 2]: per-sphere (paired flag,
+    paired light radius, paired light pos knots [TL, 3]) then (lt0, lt1)
+    for the BSDF-hit emission MIS weight ([1,1] zeros when mis is
+    off)."""
+    (sampler, num_1d_sets, compat, mis, K, NL, L, TL) = cfg
     frame_u32 = flags_ref[0, 0].astype(jnp.uint32)
     set_fres = flags_ref[0, 1]
     set_diff = flags_ref[0, 2]
@@ -653,6 +815,7 @@ def _finish_kernel(cfg, flags_ref,
     roulette_on = flags_ref[0, 5] != 0
     terminate_all = flags_ref[0, 6] != 0
     aov = flags_ref[0, 7] != 0
+    mis_on = flags_ref[0, 8] != 0
 
     o_x, o_y, o_z = ox[:], oy[:], oz[:]
     d_x, d_y, d_z = dx[:], dy[:], dz[:]
@@ -683,6 +846,44 @@ def _finish_kernel(cfg, flags_ref,
                      jnp.where(is_em, cbg, 0.0))
     le_b = jnp.where(is_sky, cab * (1.0 - t_sky) + cbb * t_sky,
                      jnp.where(is_em, cbb, 0.0))
+    if mis and K and NL:
+        # BSDF-hit emission of a sphere paired with a light is
+        # power-heuristic weighted against the NEE strategy that could
+        # have sampled the same emitter from the previous vertex
+        # (mirrors integrator.bounce step 2 mis block). Animated light
+        # channels are lerped at each lane's time (mirrors
+        # light_position_of / sample_batched_at).
+        obj = obj_r[:]
+        ppdf = ppdf_in[:]
+        stride = 2 + 3 * TL
+        if TL > 1:
+            lt0 = mis_ref[0, K * stride]
+            lt1 = mis_ref[0, K * stride + 1]
+            li0, lfrac = _interp_weights(time_r[:], lt0, lt1, TL)
+        pairf = lpx = lpy = lpz = lrad = 0.0
+        for k in range(K):
+            m = (obj == k).astype(jnp.float32)
+            pairf = pairf + m * mis_ref[0, k * stride]
+            lrad = lrad + m * mis_ref[0, k * stride + 1]
+            knots = tuple(tuple(mis_ref[0, k * stride + 2 + 3 * j + c]
+                                for c in range(3)) for j in range(TL))
+            kx, ky, kz = (_interp3(knots, li0, lfrac) if TL > 1
+                          else knots[0])
+            lpx = lpx + m * kx
+            lpy = lpy + m * ky
+            lpz = lpz + m * kz
+        is_paired = (mis_on & (obj >= 0) & (obj < K)
+                     & (pairf > 0.0) & (ppdf >= 0.0))
+        dlx, dly, dlz = lpx - o_x, lpy - o_y, lpz - o_z
+        d2 = dlx * dlx + dly * dly + dlz * dlz
+        cos_theta_max = jnp.sqrt(
+            jnp.maximum(0.0, 1.0 - lrad * lrad / d2))
+        q = 1.0 / (_TWO_PI * (1.0 - cos_theta_max)) / NL
+        w_bsdf = _power_heuristic(1.0, ppdf, float(L), q)
+        w = jnp.where(is_paired, w_bsdf, 1.0)
+        le_r = le_r * w
+        le_g = le_g * w
+        le_b = le_b * w
     rad_r = rdx[:] + jnp.where(live, le_r * tp_x * vtr, 0.0)
     rad_g = rdy[:] + jnp.where(live, le_g * tp_y * vtr, 0.0)
     rad_b = rdz[:] + jnp.where(live, le_b * tp_z * vtr, 0.0)
@@ -797,8 +998,13 @@ def finish_bounce_fused(data, static, settings, tables, depth: int,
     else:
         vol_trans = jnp.ones((n,), jnp.float32)
 
+    NL = int(static.n_lights)
+    K = int(static.n_spheres)
+    mis = bool(s.mis) and K > 0 and NL > 0
+    TL = int(data.light_pos.values.shape[1]) if NL else 1
     cfg = (s.sampler, s.num_1d_sets,
-           (s.compat_spec_reflect, s.compat_spec_phi))
+           (s.compat_spec_reflect, s.compat_spec_phi),
+           mis, K, NL, s.nee_light_samples, TL)
     flags = jnp.asarray([0,  # frame placeholder, set below
                          rng_mod.set1d_fresnel(s, depth),
                          rng_mod.set2d_diffuse(s, depth),
@@ -806,9 +1012,28 @@ def finish_bounce_fused(data, static, settings, tables, depth: int,
                          rng_mod.set1d_roulette(s, depth),
                          1 if depth > 2 else 0,
                          1 if depth >= s.max_bounces else 0,
-                         1 if depth == 0 else 0], jnp.int32)
+                         1 if depth == 0 else 0,
+                         1 if (mis and depth > 0) else 0], jnp.int32)
     flags = flags.at[0].set(tables.frame.astype(jnp.int32))
     flags = flags.reshape(1, -1)
+
+    # Per-sphere (paired flag, paired light radius, paired light pos
+    # knots [TL, 3]) then the light channel (t0, t1), for the emission
+    # MIS weight; the kernel lerps the knots at each lane's time.
+    if mis:
+        pair = data.sphere_light                       # [K] int32
+        lidx_p = jnp.clip(pair, 0, NL - 1)
+        lp = data.light_pos.values[lidx_p]             # [K, TL, 3]
+        lr = data.light_radii[lidx_p]                  # [K]
+        valid = (pair >= 0).astype(jnp.float32)
+        mis_const = jnp.concatenate([jnp.concatenate([
+            valid[:, None], lr[:, None],
+            lp.reshape(K, 3 * TL)], axis=-1).reshape(-1),
+            jnp.stack([jnp.asarray(data.light_pos.t0, jnp.float32),
+                       jnp.asarray(data.light_pos.t1, jnp.float32)]),
+        ]).reshape(1, -1)
+    else:
+        mis_const = jnp.zeros((1, 1), jnp.float32)
 
     args = [
         _to_rows(state.origin[:, 0], rows),
@@ -851,12 +1076,16 @@ def finish_bounce_fused(data, static, settings, tables, depth: int,
         _to_rows(state.normal_out[:, 1], rows),
         _to_rows(state.normal_out[:, 2], rows),
         _to_rows(state.prev_pdf, rows),
+        _to_rows(hit.obj, rows),
+        _to_rows(state.time, rows),
     ]
 
     grid = rows // block_rows
     vspec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
-    smem_i = pl.BlockSpec((1, 8), lambda i: (0, 0),
+    smem_i = pl.BlockSpec((1, 9), lambda i: (0, 0),
+                          memory_space=pltpu.SMEM)
+    smem_f = pl.BlockSpec((1, mis_const.shape[1]), lambda i: (0, 0),
                           memory_space=pltpu.SMEM)
     f32 = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
     i32 = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
@@ -864,11 +1093,586 @@ def finish_bounce_fused(data, static, settings, tables, depth: int,
     kernel = functools.partial(_finish_kernel, cfg)
     outs = pl.pallas_call(
         kernel, grid=(grid,),
-        in_specs=[smem_i] + [vspec] * len(args),
+        in_specs=[smem_i, smem_f] + [vspec] * len(args),
         out_specs=(vspec,) * 24,
         out_shape=(f32,) * 12 + (i32,) + (f32,) * 11,
         interpret=interpret or INTERPRET,
-    )(flags, *args)
+    )(flags, mis_const, *args)
+
+    def flat(a):
+        return a.reshape(-1)[:n]
+
+    def vec3(a, b, c):
+        return jnp.stack([flat(a), flat(b), flat(c)], axis=-1)
+
+    (oox, ooy, ooz, odx, ody, odz, otx, oty, otz, orx, ory, orz,
+     oalive, oppdf, ocr, ocg, ocb, obr, obg, obb, oal,
+     onx, ony, onz) = outs
+    return PathState(
+        origin=vec3(oox, ooy, ooz),
+        direction=vec3(odx, ody, odz),
+        time=state.time,
+        radiance=vec3(orx, ory, orz),
+        throughput=vec3(otx, oty, otz),
+        pixel=state.pixel,
+        sample_idx=state.sample_idx,
+        alive=flat(oalive) != 0,
+        prev_pdf=flat(oppdf),
+        color_out=vec3(ocr, ocg, ocb),
+        bg_out=vec3(obr, obg, obb),
+        alpha_out=flat(oal),
+        normal_out=vec3(onx, ony, onz),
+    )
+
+
+def _bounce_tail_kernel(cfg, const_ref, frame_ref,
+                        px, py, pz, nx, ny, nz, offs,
+                        ox, oy, oz, dx, dy, dz,
+                        tpx, tpy, tpz, vol_trans,
+                        kind, car, cag, cab, cbr, cbg, cbb, pow_r, ior_r,
+                        sample_idx, pixel, live, recv, time_r,
+                        rdx, rdy, rdz,
+                        co_r, co_g, co_b, bg_r, bg_g, bg_b,
+                        al_in, no_x, no_y, no_z, ppdf_in, obj_r,
+                        *vol_and_outs):
+    """Whole bounce tail (steps 2-7) in ONE kernel: the shadow pipeline
+    (_shadow_kernel body) computes its radiance delta in registers, and
+    the finish pipeline (_finish_kernel body) consumes it without the
+    HBM round trip of the two-kernel path. Inputs are the union of the
+    two kernels' inputs; outputs are the finish kernel's 24.
+
+    cfg = (shadow_cfg, finish_cfg): the exact cfg tuples of
+    _shadow_kernel and _finish_kernel, so the two bodies read their
+    constants unchanged.
+    frame_ref: SMEM i32 [1, 1 + 2L + 2*VM*L + 8]: the shadow kernel's
+    frame+set-id vector followed by the finish kernel's flags[1:9]
+    (set_fresnel..mis_on — frame is shared).
+    const_ref: SMEM f32: the shadow const vector followed by the finish
+    mis_const vector (offset passed in finish_cfg's extended tail)."""
+    (shadow_cfg, finish_cfg, n_shadow_const) = cfg
+    (fn_c, treedef, n_leaves, sampler, num_1d_sets, L, VM, NL, K,
+     has_ext, has_scat, eps_c, eps_l, max_steps,
+     correction, vm_correction, bv_r, mis_w, compat_reflect,
+     TL, TS) = shadow_cfg
+
+    n_vol = 2 * VM * L
+    vol_args = vol_and_outs[:n_vol]
+    outs = vol_and_outs[n_vol:]
+
+    # ---- shadow pipeline (mirrors _shadow_kernel; radiance delta in
+    # registers) ----
+    prm = (_unflatten_params(const_ref, treedef, n_leaves)
+           if fn_c is not None else None)
+    base = n_leaves
+    lstride = 3 * TL + 5
+    light_knots = tuple(
+        tuple(tuple(const_ref[0, base + l * lstride + 3 * j + c]
+                    for c in range(3)) for j in range(TL))
+        for l in range(NL))
+    light_tail = tuple(
+        tuple(const_ref[0, base + l * lstride + 3 * TL + j]
+              for j in range(5)) for l in range(NL))
+    base = base + lstride * NL
+    sstride = 3 * TS + 1
+    sphere_knots = tuple(
+        tuple(tuple(const_ref[0, base + k * sstride + 3 * j + c]
+                    for c in range(3)) for j in range(TS))
+        for k in range(K))
+    sphere_rad = tuple(const_ref[0, base + k * sstride + 3 * TS]
+                       for k in range(K))
+    base = base + sstride * K
+    sigma_t = const_ref[0, base]
+    sigma_s = const_ref[0, base + 1]
+    lt0, lt1 = const_ref[0, base + 2], const_ref[0, base + 3]
+    st0, st1 = const_ref[0, base + 4], const_ref[0, base + 5]
+    frame_u32 = frame_ref[0, 0].astype(jnp.uint32)
+    set_pick = tuple(frame_ref[0, 1 + i] for i in range(L))
+    set_nee = tuple(frame_ref[0, 1 + L + i] for i in range(L))
+    set_vol_pick = tuple(
+        tuple(frame_ref[0, 1 + 2 * L + m * L + i] for i in range(L))
+        for m in range(VM))
+    set_vol = tuple(
+        tuple(frame_ref[0, 1 + 2 * L + VM * L + m * L + i]
+              for i in range(L))
+        for m in range(VM))
+
+    p_x, p_y, p_z = px[:], py[:], pz[:]
+    n_x, n_y, n_z = nx[:], ny[:], nz[:]
+    off = offs[:]
+    o_x, o_y, o_z = ox[:], oy[:], oz[:]
+    d_x, d_y, d_z = dx[:], dy[:], dz[:]
+    tp_x, tp_y, tp_z = tpx[:], tpy[:], tpz[:]
+    vtr = vol_trans[:]
+    mkind = kind[:]
+    c_r, c_g, c_b = car[:], cag[:], cab[:]
+    pw = pow_r[:]
+    sidx = sample_idx[:].astype(jnp.uint32)
+    pix = pixel[:].astype(jnp.uint32)
+    alive = live[:] != 0
+    receives = recv[:] != 0
+    wo_x, wo_y, wo_z = -d_x, -d_y, -d_z
+    tm = time_r[:]
+
+    if TL > 1:
+        li0, lfrac = _interp_weights(tm, lt0, lt1, TL)
+    lights = tuple(
+        _interp3(light_knots[l], li0, lfrac) + light_tail[l]
+        if TL > 1 else (light_knots[l][0] + light_tail[l])
+        for l in range(NL))
+    if TS > 1:
+        si0, sfrac = _interp_weights(tm, st0, st1, TS)
+    spheres = tuple(
+        _interp3(sphere_knots[k], si0, sfrac) + (sphere_rad[k],)
+        if TS > 1 else (sphere_knots[k][0] + (sphere_rad[k],))
+        for k in range(K))
+
+    vd = [[vol_args[2 * (m * L + i)][:] for i in range(L)]
+          for m in range(VM)]
+    vp = [[vol_args[2 * (m * L + i) + 1][:] for i in range(L)]
+          for m in range(VM)]
+
+    rad_r = jnp.zeros_like(p_x)
+    rad_g = jnp.zeros_like(p_x)
+    rad_b = jnp.zeros_like(p_x)
+
+    for i in range(L):
+        u_pick = _sample_1d(sampler, frame_u32, set_pick[i], sidx, pix)
+        lx, ly, lz, lrad, er, eg, eb, lpair = _pick_light(u_pick, lights)
+        u1, u2 = _sample_2d(sampler, num_1d_sets, frame_u32, set_nee[i],
+                            sidx, pix)
+        ex, ey, ez, pdf = _sample_cone(u1, u2, lx, ly, lz, lrad,
+                                       p_x, p_y, p_z)
+        wfx, wfy, wfz = ex - p_x, ey - p_y, ez - p_z
+        dist = jnp.sqrt(wfx * wfx + wfy * wfy + wfz * wfz)
+        dinv = 1.0 / dist
+        wix, wiy, wiz = wfx * dinv, wfy * dinv, wfz * dinv
+        ndw = n_x * wix + n_y * wiy + n_z * wiz
+        bias = jnp.where(jnp.signbit(ndw), -off, off)
+        sx = p_x + n_x * bias
+        sy = p_y + n_y * bias
+        sz = p_z + n_z * bias
+        fr, fg, fb = _eval_f(mkind, c_r, c_g, c_b, pw,
+                             wo_x, wo_y, wo_z, wix, wiy, wiz,
+                             n_x, n_y, n_z)
+        ndl = jnp.maximum(0.0, ndw)
+        if has_ext:
+            seg_trans = jnp.exp(-sigma_t * dist)
+        else:
+            seg_trans = 1.0
+        scale = (seg_trans / pdf) * (correction * vtr)
+        kr = jnp.where(receives, er * fr * ndl * scale * tp_x, 0.0)
+        kg = jnp.where(receives, eg * fg * ndl * scale * tp_y, 0.0)
+        kb = jnp.where(receives, eb * fb * ndl * scale * tp_z, 0.0)
+        if mis_w:
+            p_bsdf = _eval_pdf(compat_reflect, mkind, pw,
+                               wo_x, wo_y, wo_z, wix, wiy, wiz,
+                               n_x, n_y, n_z)
+            w_light = _power_heuristic(float(L), pdf / NL, 1.0, p_bsdf)
+            w = jnp.where(lpair > 0.0, w_light, 1.0)
+            kr = kr * w
+            kg = kg * w
+            kb = kb * w
+        worth = receives & ((kr != 0.0) | (kg != 0.0) | (kb != 0.0))
+        blocked = _sphere_occluded(spheres, sx, sy, sz, ex, ey, ez)
+        if fn_c is not None:
+            blocked = blocked | _sdf_occluded(
+                fn_c, prm, max_steps, eps_c, eps_l, sx, sy, sz,
+                ex, ey, ez, worth & jnp.logical_not(blocked), bv_r)
+        vis = jnp.logical_not(blocked).astype(jnp.float32) \
+            * worth.astype(jnp.float32)
+        rad_r = rad_r + kr * vis
+        rad_g = rad_g + kg * vis
+        rad_b = rad_b + kb * vis
+
+    if has_scat and VM:
+        inv_4pi = 1.0 / (4.0 * _PI)
+        for m in range(VM):
+            for i in range(L):
+                u_pick = _sample_1d(sampler, frame_u32, set_vol_pick[m][i],
+                                    sidx, pix)
+                (lx, ly, lz, lrad, er, eg, eb,
+                 _lpair) = _pick_light(u_pick, lights)
+                spx = o_x + vd[m][i] * d_x
+                spy = o_y + vd[m][i] * d_y
+                spz = o_z + vd[m][i] * d_z
+                u1, u2 = _sample_2d(sampler, num_1d_sets, frame_u32,
+                                    set_vol[m][i], sidx, pix)
+                ex, ey, ez, light_pdf = _sample_cone(
+                    u1, u2, lx, ly, lz, lrad, spx, spy, spz)
+                sgx, sgy, sgz = ex - spx, ey - spy, ez - spz
+                dist_pl = jnp.sqrt(sgx * sgx + sgy * sgy + sgz * sgz)
+                if has_ext:
+                    seg_trans = jnp.exp(-sigma_t * dist_pl)
+                    to_point = jnp.exp(-sigma_t * vd[m][i])
+                else:
+                    seg_trans = 1.0
+                    to_point = 1.0
+                scale = (inv_4pi * seg_trans / (vp[m][i] * light_pdf)
+                         * vm_correction * sigma_s * to_point)
+                kr = jnp.where(alive, er * scale * tp_x, 0.0)
+                kg = jnp.where(alive, eg * scale * tp_y, 0.0)
+                kb = jnp.where(alive, eb * scale * tp_z, 0.0)
+                worth = alive & ((kr != 0.0) | (kg != 0.0) | (kb != 0.0))
+                blocked = _sphere_occluded(spheres, spx, spy, spz,
+                                           ex, ey, ez)
+                if fn_c is not None:
+                    blocked = blocked | _sdf_occluded(
+                        fn_c, prm, max_steps, eps_c, eps_l,
+                        spx, spy, spz, ex, ey, ez,
+                        worth & jnp.logical_not(blocked), bv_r)
+                vis = jnp.logical_not(blocked).astype(jnp.float32) \
+                    * worth.astype(jnp.float32)
+                rad_r = rad_r + kr * vis
+                rad_g = rad_g + kg * vis
+                rad_b = rad_b + kb * vis
+
+    # ---- finish pipeline (mirrors _finish_kernel; the two-kernel path's
+    # radiance input rdx/rdy/rdz + delta is formed here, keeping the
+    # same state.radiance + delta association order) ----
+    (sampler_f, num_1d_sets_f, compat, mis, Kf, NLf, Lf, TLf) = finish_cfg
+    fbase = 1 + 2 * L + 2 * VM * L
+    set_fres = frame_ref[0, fbase]
+    set_diff = frame_ref[0, fbase + 1]
+    set_spec = frame_ref[0, fbase + 2]
+    set_rr = frame_ref[0, fbase + 3]
+    roulette_on = frame_ref[0, fbase + 4] != 0
+    terminate_all = frame_ref[0, fbase + 5] != 0
+    aov = frame_ref[0, fbase + 6] != 0
+    mis_on = frame_ref[0, fbase + 7] != 0
+
+    (out_ox, out_oy, out_oz, out_dx, out_dy, out_dz,
+     out_tx, out_ty, out_tz, out_rx, out_ry, out_rz,
+     out_alive, out_ppdf,
+     out_cr, out_cg, out_cb, out_br, out_bg, out_bb,
+     out_al, out_nx, out_ny, out_nz) = outs
+
+    live_b = alive
+    cbr_, cbg_, cbb_ = cbr[:], cbg[:], cbb[:]
+    ior = ior_r[:]
+
+    t_sky = 0.5 * (wo_y + 1.0)
+    is_sky = mkind == SKY
+    is_em = mkind == EMISSIVE
+    le_r = jnp.where(is_sky, c_r * (1.0 - t_sky) + cbr_ * t_sky,
+                     jnp.where(is_em, cbr_, 0.0))
+    le_g = jnp.where(is_sky, c_g * (1.0 - t_sky) + cbg_ * t_sky,
+                     jnp.where(is_em, cbg_, 0.0))
+    le_b = jnp.where(is_sky, c_b * (1.0 - t_sky) + cbb_ * t_sky,
+                     jnp.where(is_em, cbb_, 0.0))
+    if mis and Kf and NLf:
+        obj = obj_r[:]
+        ppdf = ppdf_in[:]
+        stride = 2 + 3 * TLf
+        if TLf > 1:
+            mlt0 = const_ref[0, n_shadow_const + Kf * stride]
+            mlt1 = const_ref[0, n_shadow_const + Kf * stride + 1]
+            mli0, mlfrac = _interp_weights(tm, mlt0, mlt1, TLf)
+        pairf = lpx = lpy = lpz = lrad = 0.0
+        for k in range(Kf):
+            m = (obj == k).astype(jnp.float32)
+            kb_ = n_shadow_const + k * stride
+            pairf = pairf + m * const_ref[0, kb_]
+            lrad = lrad + m * const_ref[0, kb_ + 1]
+            knots = tuple(tuple(const_ref[0, kb_ + 2 + 3 * j + c]
+                                for c in range(3)) for j in range(TLf))
+            kx, ky, kz = (_interp3(knots, mli0, mlfrac) if TLf > 1
+                          else knots[0])
+            lpx = lpx + m * kx
+            lpy = lpy + m * ky
+            lpz = lpz + m * kz
+        is_paired = (mis_on & (obj >= 0) & (obj < Kf)
+                     & (pairf > 0.0) & (ppdf >= 0.0))
+        dlx, dly, dlz = lpx - o_x, lpy - o_y, lpz - o_z
+        d2 = dlx * dlx + dly * dly + dlz * dlz
+        cos_theta_max = jnp.sqrt(
+            jnp.maximum(0.0, 1.0 - lrad * lrad / d2))
+        q = 1.0 / (_TWO_PI * (1.0 - cos_theta_max)) / NLf
+        w_bsdf = _power_heuristic(1.0, ppdf, float(Lf), q)
+        w = jnp.where(is_paired, w_bsdf, 1.0)
+        le_r = le_r * w
+        le_g = le_g * w
+        le_b = le_b * w
+    # two-kernel association order: (state.radiance + delta) + emission
+    rad_r = (rdx[:] + rad_r) + jnp.where(live_b, le_r * tp_x * vtr, 0.0)
+    rad_g = (rdy[:] + rad_g) + jnp.where(live_b, le_g * tp_y * vtr, 0.0)
+    rad_b = (rdz[:] + rad_b) + jnp.where(live_b, le_b * tp_z * vtr, 0.0)
+
+    u_f = _sample_1d(sampler_f, frame_u32, set_fres, sidx, pix)
+    u_d1, u_d2 = _sample_2d(sampler_f, num_1d_sets_f, frame_u32, set_diff,
+                            sidx, pix)
+    u_s1, u_s2 = _sample_2d(sampler_f, num_1d_sets_f, frame_u32, set_spec,
+                            sidx, pix)
+    (wix, wiy, wiz, f_r, f_g, f_b, pdf) = _scatter(
+        compat, mkind, c_r, c_g, c_b, pw, ior,
+        wo_x, wo_y, wo_z, n_x, n_y, n_z, u_f, u_d1, u_d2, u_s1, u_s2)
+    ndl = jnp.abs(wix * n_x + wiy * n_y + wiz * n_z)
+    scale = vtr * (ndl / pdf)
+    ntp_x = tp_x * scale * f_r
+    ntp_y = tp_y * scale * f_g
+    ntp_z = tp_z * scale * f_b
+
+    max_tp = jnp.maximum(tp_x, jnp.maximum(tp_y, tp_z))
+    roulette = jnp.where(roulette_on,
+                         jnp.maximum(1.0 - max_tp, 0.05), 0.0)
+    inv_keep = 1.0 / (1.0 - roulette)
+    ntp_x = ntp_x * inv_keep
+    ntp_y = ntp_y * inv_keep
+    ntp_z = ntp_z * inv_keep
+
+    u_r = _sample_1d(sampler_f, frame_u32, set_rr, sidx, pix)
+    rr_kill = u_r < roulette
+    terminate = terminate_all | rr_kill
+
+    aov_set = aov & receives
+    al = jnp.where(aov_set, 1.0, al_in[:])
+    nout_x = jnp.where(aov_set, n_x, no_x[:])
+    nout_y = jnp.where(aov_set, n_y, no_y[:])
+    nout_z = jnp.where(aov_set, n_z, no_z[:])
+
+    non_recv = live_b & jnp.logical_not(receives)
+    bgsel = aov & non_recv
+    b_r = jnp.where(bgsel, rad_r, bg_r[:])
+    b_g = jnp.where(bgsel, rad_g, bg_g[:])
+    b_b = jnp.where(bgsel, rad_b, bg_b[:])
+    csel = jnp.logical_not(aov) & non_recv
+    cc_r = jnp.where(csel, rad_r, co_r[:])
+    cc_g = jnp.where(csel, rad_g, co_g[:])
+    cc_b = jnp.where(csel, rad_b, co_b[:])
+    recv_done = receives & terminate
+    cc_r = jnp.where(recv_done, rad_r, cc_r)
+    cc_g = jnp.where(recv_done, rad_g, cc_g)
+    cc_b = jnp.where(recv_done, rad_b, cc_b)
+
+    survive = receives & jnp.logical_not(terminate)
+
+    ndw2 = n_x * wix + n_y * wiy + n_z * wiz
+    bias = jnp.where(jnp.signbit(ndw2), -off, off)
+    no_ox = p_x + n_x * bias
+    no_oy = p_y + n_y * bias
+    no_oz = p_z + n_z * bias
+    tp_nan = (jnp.isnan(ntp_x) | jnp.isnan(ntp_y) | jnp.isnan(ntp_z))
+    fx = jnp.where(tp_nan, tp_x, ntp_x)
+    fy = jnp.where(tp_nan, tp_y, ntp_y)
+    fz = jnp.where(tp_nan, tp_z, ntp_z)
+    next_pdf = jnp.where(mkind == REFRACTIVE, -1.0, pdf)
+
+    out_ox[:] = jnp.where(survive, no_ox, o_x)
+    out_oy[:] = jnp.where(survive, no_oy, o_y)
+    out_oz[:] = jnp.where(survive, no_oz, o_z)
+    out_dx[:] = jnp.where(survive, wix, d_x)
+    out_dy[:] = jnp.where(survive, wiy, d_y)
+    out_dz[:] = jnp.where(survive, wiz, d_z)
+    out_tx[:] = jnp.where(survive, fx, tp_x)
+    out_ty[:] = jnp.where(survive, fy, tp_y)
+    out_tz[:] = jnp.where(survive, fz, tp_z)
+    out_rx[:] = rad_r
+    out_ry[:] = rad_g
+    out_rz[:] = rad_b
+    out_alive[:] = survive.astype(jnp.int32)
+    out_ppdf[:] = jnp.where(survive, next_pdf, ppdf_in[:])
+    out_cr[:] = cc_r
+    out_cg[:] = cc_g
+    out_cb[:] = cc_b
+    out_br[:] = b_r
+    out_bg[:] = b_g
+    out_bb[:] = b_b
+    out_al[:] = al
+    out_nx[:] = nout_x
+    out_ny[:] = nout_y
+    out_nz[:] = nout_z
+
+
+def bounce_tail_fused(data, static, settings, tables, depth: int,
+                      state, hit, info, mat, live, receives,
+                      vol_dists, vol_pdfs,
+                      block_rows: int = 64, interpret: bool = False):
+    """Whole bounce tail (steps 2-7: NEE + volume shadows, emission,
+    scatter, roulette, AOVs, termination) as ONE Pallas kernel — the
+    two-kernel path (shadow_radiance + finish_bounce_fused) re-reads
+    ~17 per-lane arrays and round-trips the 3-channel radiance delta
+    through HBM between the kernels; here the delta stays in registers.
+    Same formulas/streams/association order as the two-kernel path
+    (equivalence tested); requires static.n_lights > 0 (otherwise use
+    finish_bounce_fused directly). Returns the next PathState."""
+    from rayn_tpu.render.integrator import PathState
+
+    s = settings
+    prog = static.sdf_program(data) if static.has_sdf else None
+    n = state.origin.shape[0]
+    block_rows = max(block_rows, 8)
+    block = block_rows * LANES
+    n_pad = -(-n // block) * block
+    rows = n_pad // LANES
+
+    if static.has_extinction:
+        vol_trans = jnp.exp(-data.volume_sigma_t * hit.t)
+    else:
+        vol_trans = jnp.ones((n,), jnp.float32)
+
+    NL = int(static.n_lights)
+    K = int(static.n_spheres)
+    L = s.nee_light_samples if NL > 0 else 0
+    VM = s.volume_marches if (static.has_scattering and NL > 0) else 0
+    assert NL > 0, "bounce_tail_fused requires lights"
+
+    params, treedef, n_leaves = _flatten_params(
+        prog.params if prog is not None else {})
+    TL = int(data.light_pos.values.shape[1]) if NL else 1
+    TS = int(data.sphere_centers.values.shape[1]) if K else 1
+    pieces = [params.reshape(-1)] if n_leaves else []
+    pieces.append(jnp.concatenate([
+        data.light_pos.values.reshape(NL, 3 * TL),
+        data.light_radii[:, None],
+        data.light_emission,
+        data.light_paired[:, None],
+    ], axis=-1).reshape(-1))
+    if K:
+        pieces.append(jnp.concatenate([
+            data.sphere_centers.values.reshape(K, 3 * TS),
+            data.sphere_radii[:, None],
+        ], axis=-1).reshape(-1))
+    sig_t = (data.volume_sigma_t if static.has_extinction
+             else jnp.float32(0.0))
+    sig_s = (data.volume_sigma_s if static.has_scattering
+             else jnp.float32(0.0))
+    pieces.append(jnp.stack([jnp.asarray(sig_t, jnp.float32),
+                             jnp.asarray(sig_s, jnp.float32)]))
+    pieces.append(jnp.stack([
+        jnp.asarray(data.light_pos.t0, jnp.float32),
+        jnp.asarray(data.light_pos.t1, jnp.float32),
+        jnp.asarray(data.sphere_centers.t0 if K else 0.0, jnp.float32),
+        jnp.asarray(data.sphere_centers.t1 if K else 1.0, jnp.float32)]))
+    shadow_const = jnp.concatenate(pieces)
+    n_shadow_const = int(shadow_const.shape[0])
+
+    mis = bool(s.mis) and K > 0 and NL > 0
+    if mis:
+        pair = data.sphere_light
+        lidx_p = jnp.clip(pair, 0, NL - 1)
+        lp = data.light_pos.values[lidx_p]
+        lr = data.light_radii[lidx_p]
+        valid = (pair >= 0).astype(jnp.float32)
+        mis_const = jnp.concatenate([jnp.concatenate([
+            valid[:, None], lr[:, None],
+            lp.reshape(K, 3 * TL)], axis=-1).reshape(-1),
+            jnp.stack([jnp.asarray(data.light_pos.t0, jnp.float32),
+                       jnp.asarray(data.light_pos.t1, jnp.float32)]),
+        ])
+    else:
+        mis_const = jnp.zeros((1,), jnp.float32)
+    const = jnp.concatenate([shadow_const, mis_const]).reshape(1, -1)
+    n_const = const.shape[1]
+
+    shadow_prog = (prog.reduced(s.shadow_de_iterations)
+                   if prog is not None else None)
+    detail = s.sdf_detail_scale * s.shadow_eps_scale
+    bv_r = float(static.sdf_bound_radius) if s.shadow_bv_clip else 0.0
+    shadow_cfg = (
+        shadow_prog.fn_c if shadow_prog is not None else None,
+        treedef, n_leaves, s.sampler, s.num_1d_sets,
+        L, VM, NL, K,
+        static.has_extinction, static.has_scattering,
+        1e-4 * detail, 1e-5 * detail, s.max_vis_marches,
+        (NL / L) if L else 0.0,
+        (NL / L / VM) if (L and VM) else 0.0,
+        bv_r,
+        bool(s.mis), bool(s.compat_spec_reflect),
+        TL, TS,
+    )
+    finish_cfg = (s.sampler, s.num_1d_sets,
+                  (s.compat_spec_reflect, s.compat_spec_phi),
+                  mis, K, NL, s.nee_light_samples, TL)
+    set_ids = (
+        [rng_mod.set1d_light_pick(s, depth, i) for i in range(L)]
+        + [rng_mod.set2d_nee(s, depth, i) for i in range(L)]
+        + [rng_mod.set1d_vol_pick(s, depth, m, i)
+           for m in range(VM) for i in range(L)]
+        + [rng_mod.set2d_vol(s, depth, m, i)
+           for m in range(VM) for i in range(L)])
+    finish_flags = [
+        rng_mod.set1d_fresnel(s, depth),
+        rng_mod.set2d_diffuse(s, depth),
+        rng_mod.set2d_spec(s, depth),
+        rng_mod.set1d_roulette(s, depth),
+        1 if depth > 2 else 0,
+        1 if depth >= s.max_bounces else 0,
+        1 if depth == 0 else 0,
+        1 if (mis and depth > 0) else 0,
+    ]
+    frame = jnp.concatenate([
+        tables.frame.astype(jnp.int32).reshape(1),
+        jnp.asarray(set_ids + finish_flags, jnp.int32),
+    ]).reshape(1, -1)
+
+    args = [
+        _to_rows(info.point[:, 0], rows), _to_rows(info.point[:, 1], rows),
+        _to_rows(info.point[:, 2], rows),
+        _to_rows(info.normal[:, 0], rows),
+        _to_rows(info.normal[:, 1], rows),
+        _to_rows(info.normal[:, 2], rows),
+        _to_rows(info.offset_by, rows),
+        _to_rows(state.origin[:, 0], rows),
+        _to_rows(state.origin[:, 1], rows),
+        _to_rows(state.origin[:, 2], rows),
+        _to_rows(state.direction[:, 0], rows),
+        _to_rows(state.direction[:, 1], rows),
+        _to_rows(state.direction[:, 2], rows),
+        _to_rows(state.throughput[:, 0], rows),
+        _to_rows(state.throughput[:, 1], rows),
+        _to_rows(state.throughput[:, 2], rows),
+        _to_rows(vol_trans, rows),
+        _to_rows(mat.kind, rows),
+        _to_rows(mat.color_a[:, 0], rows),
+        _to_rows(mat.color_a[:, 1], rows),
+        _to_rows(mat.color_a[:, 2], rows),
+        _to_rows(mat.color_b[:, 0], rows),
+        _to_rows(mat.color_b[:, 1], rows),
+        _to_rows(mat.color_b[:, 2], rows),
+        _to_rows(mat.power, rows), _to_rows(mat.ior, rows),
+        _to_rows(state.sample_idx, rows), _to_rows(state.pixel, rows),
+        _to_rows(live.astype(jnp.int32), rows),
+        _to_rows(receives.astype(jnp.int32), rows),
+        _to_rows(state.time, rows),
+        _to_rows(state.radiance[:, 0], rows),
+        _to_rows(state.radiance[:, 1], rows),
+        _to_rows(state.radiance[:, 2], rows),
+        _to_rows(state.color_out[:, 0], rows),
+        _to_rows(state.color_out[:, 1], rows),
+        _to_rows(state.color_out[:, 2], rows),
+        _to_rows(state.bg_out[:, 0], rows),
+        _to_rows(state.bg_out[:, 1], rows),
+        _to_rows(state.bg_out[:, 2], rows),
+        _to_rows(state.alpha_out, rows),
+        _to_rows(state.normal_out[:, 0], rows),
+        _to_rows(state.normal_out[:, 1], rows),
+        _to_rows(state.normal_out[:, 2], rows),
+        _to_rows(state.prev_pdf, rows),
+        _to_rows(hit.obj, rows),
+    ]
+    for m in range(VM):
+        for i in range(L):
+            args.append(_to_rows(vol_dists[m][i], rows))
+            args.append(_to_rows(vol_pdfs[m][i], rows))
+
+    grid = rows // block_rows
+    vspec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec((1, n_const), lambda i: (0, 0),
+                        memory_space=pltpu.SMEM)
+    smem_i = pl.BlockSpec((1, frame.shape[1]), lambda i: (0, 0),
+                          memory_space=pltpu.SMEM)
+    f32 = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
+
+    kernel = functools.partial(_bounce_tail_kernel,
+                               (shadow_cfg, finish_cfg, n_shadow_const))
+    outs = pl.pallas_call(
+        kernel, grid=(grid,),
+        in_specs=[smem, smem_i] + [vspec] * len(args),
+        out_specs=(vspec,) * 24,
+        out_shape=(f32,) * 12 + (i32,) + (f32,) * 11,
+        interpret=interpret or INTERPRET,
+    )(const, frame, *args)
 
     def flat(a):
         return a.reshape(-1)[:n]
@@ -899,7 +1703,7 @@ def finish_bounce_fused(data, static, settings, tables, depth: int,
 def shadow_radiance(data, static, settings, tables, depth: int,
                     point, normal, offset_by, origin, direction, hit_t,
                     throughput, vol_trans, mat, live, receives,
-                    sample_idx, pixel, vol_dists, vol_pdfs,
+                    sample_idx, pixel, time, vol_dists, vol_pdfs,
                     block_rows: int = 64, interpret: bool = False):
     """Radiance delta [N, 3] of one bounce's NEE + volume single
     scattering, computed by the fused kernel. Streams and formulas match
@@ -929,16 +1733,19 @@ def shadow_radiance(data, static, settings, tables, depth: int,
     # The kernel indexes lights at offset n_leaves, so the zero-leaf
     # dummy _flatten_params returns for an empty pytree must NOT be
     # included (n_leaves == 0 there).
+    TL = int(data.light_pos.values.shape[1]) if NL else 1
+    TS = int(data.sphere_centers.values.shape[1]) if K else 1
     pieces = [params.reshape(-1)] if n_leaves else []
     if NL:
         pieces.append(jnp.concatenate([
-            data.light_pos.values[:, 0, :],        # [NL, 3]
+            data.light_pos.values.reshape(NL, 3 * TL),  # all pos knots
             data.light_radii[:, None],             # [NL, 1]
             data.light_emission,                   # [NL, 3]
+            data.light_paired[:, None],            # [NL, 1] (MIS)
         ], axis=-1).reshape(-1))
     if K:
         pieces.append(jnp.concatenate([
-            data.sphere_centers.values[:, 0, :],   # [K, 3]
+            data.sphere_centers.values.reshape(K, 3 * TS),
             data.sphere_radii[:, None],            # [K, 1]
         ], axis=-1).reshape(-1))
     sig_t = (data.volume_sigma_t if static.has_extinction
@@ -947,18 +1754,33 @@ def shadow_radiance(data, static, settings, tables, depth: int,
              else jnp.float32(0.0))
     pieces.append(jnp.stack([jnp.asarray(sig_t, jnp.float32),
                              jnp.asarray(sig_s, jnp.float32)]))
+    # channel time ranges (lt0, lt1, st0, st1) for in-kernel knot lerp
+    pieces.append(jnp.stack([
+        jnp.asarray(data.light_pos.t0 if NL else 0.0, jnp.float32),
+        jnp.asarray(data.light_pos.t1 if NL else 1.0, jnp.float32),
+        jnp.asarray(data.sphere_centers.t0 if K else 0.0, jnp.float32),
+        jnp.asarray(data.sphere_centers.t1 if K else 1.0, jnp.float32)]))
     const = jnp.concatenate(pieces).reshape(1, -1)
     n_const = const.shape[1]
 
-    detail = s.sdf_detail_scale
+    # Shadow-march cost reduction (BASELINE.md round-3 study): truncated
+    # DE iterations, scaled epsilons, bounding-volume clip — all applied
+    # to the visibility marches only, mirroring intersect.test_occluded.
+    shadow_prog = (prog.reduced(s.shadow_de_iterations)
+                   if prog is not None else None)
+    detail = s.sdf_detail_scale * s.shadow_eps_scale
+    bv_r = float(static.sdf_bound_radius) if s.shadow_bv_clip else 0.0
     cfg = (
-        prog.fn_c if prog is not None else None,
+        shadow_prog.fn_c if shadow_prog is not None else None,
         treedef, n_leaves, s.sampler, s.num_1d_sets,
         L, VM, NL, K,
         static.has_extinction, static.has_scattering,
         1e-4 * detail, 1e-5 * detail, s.max_vis_marches,
         (NL / L) if L else 0.0,
         (NL / L / VM) if (L and VM) else 0.0,
+        bv_r,
+        bool(s.mis), bool(s.compat_spec_reflect),
+        TL, TS,
     )
     set_ids = (
         [rng_mod.set1d_light_pick(s, depth, i) for i in range(L)]
@@ -988,6 +1810,7 @@ def shadow_radiance(data, static, settings, tables, depth: int,
         _to_rows(sample_idx, rows), _to_rows(pixel, rows),
         _to_rows(live.astype(jnp.int32), rows),
         _to_rows(receives.astype(jnp.int32), rows),
+        _to_rows(time, rows),
     ]
     for m in range(VM):
         for i in range(L):
@@ -1009,7 +1832,7 @@ def shadow_radiance(data, static, settings, tables, depth: int,
     kernel = functools.partial(_shadow_kernel, cfg)
     out_r, out_g, out_b = pl.pallas_call(
         kernel, grid=(grid,),
-        in_specs=[smem, smem_i] + [vspec] * (26 + 2 * VM * L),
+        in_specs=[smem, smem_i] + [vspec] * (27 + 2 * VM * L),
         out_specs=(vspec, vspec, vspec),
         out_shape=(jax.ShapeDtypeStruct((rows, LANES), jnp.float32),) * 3,
         interpret=interpret or INTERPRET,

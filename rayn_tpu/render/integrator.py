@@ -114,7 +114,7 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
             static.sdf_program(data) if static.has_sdf else None):
         hit, info = intersect_pallas.closest_hit_shading(
             data, static, s, state.origin, state.direction,
-            hps_abs, hps_lin, state.alive,
+            hps_abs, hps_lin, state.alive, state.time,
             block_rows=s.pallas_block_rows)
     else:
         t_max = jnp.full((n,), 2.0 * s.world_radius, jnp.float32)
@@ -145,6 +145,14 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
     _prog_probe = static.sdf_program(data) if static.has_sdf else None
     if (s.use_fused_finish
             and shade_pallas.fused_ok(s, static, data, _prog_probe)):
+        if s.use_fused_bounce_tail and static.n_lights > 0:
+            # whole-tail mega-kernel: shadow + finish in one launch
+            return shade_pallas.bounce_tail_fused(
+                data, static, s, tables, depth, state, hit, info, mat,
+                live, receives,
+                *_equi_angular_samples(data, static, s, tables, state,
+                                       hit, depth),
+                block_rows=s.pallas_occl_block_rows)
         rad = state.radiance
         if static.n_lights > 0:
             rad = rad + shade_pallas.shadow_radiance(
@@ -152,7 +160,7 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
                 info.point, info.normal, info.offset_by,
                 state.origin, state.direction, hit.t,
                 state.throughput, vol_trans, mat, live, receives,
-                state.sample_idx, state.pixel,
+                state.sample_idx, state.pixel, state.time,
                 *_equi_angular_samples(data, static, s, tables, state,
                                        hit, depth),
                 block_rows=s.pallas_occl_block_rows)
@@ -205,7 +213,7 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
                 info.point, info.normal, info.offset_by,
                 state.origin, state.direction, hit.t,
                 state.throughput, vol_trans, mat, live, receives,
-                state.sample_idx, state.pixel,
+                state.sample_idx, state.pixel, state.time,
                 *_equi_angular_samples(data, static, s, tables, state,
                                        hit, depth),
                 block_rows=s.pallas_occl_block_rows)

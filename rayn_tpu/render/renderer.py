@@ -118,6 +118,13 @@ def render_pass(film: film_mod.Film, data: SceneData, static: SceneStatic,
 # mid-frame and exercise render_frame_resilient's checkpoint resume).
 _FAIL_HOOK = None
 
+# Errors worth retrying: device/runtime failures (XlaRuntimeError — e.g.
+# a preempted TPU, a dropped tunnel — subclasses RuntimeError) and host
+# I/O hiccups. Programming errors (ValueError/TypeError from bad shapes
+# or settings) are deterministic and re-raise immediately — retrying
+# them `retries` times with identical inputs only delays the traceback.
+_TRANSIENT_ERRORS = (RuntimeError, OSError)
+
 
 def render_frame_resilient(data: SceneData, static: SceneStatic,
                            settings: RenderSettings, camera: Camera,
@@ -125,16 +132,18 @@ def render_frame_resilient(data: SceneData, static: SceneStatic,
     """render_frame with failure detection + elastic resume (SURVEY.md
     §5; no reference counterpart — the reference panics on any error,
     src/main.rs unwraps). A failed attempt is retried up to `retries`
-    times; when a checkpoint_path is given, each retry resumes at the
-    last persisted pass instead of ray 0, so a preempted or crashed
-    render loses at most `checkpoint_every` passes of work."""
+    times (transient runtime/IO errors only; deterministic programming
+    errors surface immediately); when a checkpoint_path is given, each
+    retry resumes at the last persisted pass instead of ray 0, so a
+    preempted or crashed render loses at most `checkpoint_every` passes
+    of work."""
     import sys as _sys
     for attempt in range(retries + 1):
         try:
             return render_frame(data, static, settings, camera, **kwargs)
         except KeyboardInterrupt:
             raise
-        except Exception as e:
+        except _TRANSIENT_ERRORS as e:
             if attempt == retries:
                 raise
             where = ("resuming from checkpoint"

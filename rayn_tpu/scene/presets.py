@@ -24,14 +24,32 @@ def _normalized(v):
 
 def default_scene(resolution=(1280, 720), world_radius: float = 100.0,
                   fractal_iterations: int = 12, volume: bool = True,
-                  animated: bool = False):
+                  animated: bool = False, animated_geo: bool = False,
+                  geo_knots: int = 8):
     """The reference's default scene (src/setup.rs:46-170).
 
     Returns (scene_data, scene_static, camera). With `animated=True` the
     camera orbits slightly over the shutter interval (exercising motion
     blur; the reference supports this via `Fn(f32)->Vec3` camera params).
-    """
+    With `animated_geo=True` the sphere lights and their paired emissive
+    spheres orbit over [0, 2] s — animated GEOMETRY channels (the
+    reference's `WSequenced` sphere centers, src/sphere.rs:49 +
+    src/animation.rs:55-68), exercising the multi-knot fast path in the
+    fused kernels (geo_knots <= shade_pallas.MAX_SMEM_KNOTS stays
+    fused)."""
     b = SceneBuilder()
+
+    def _orbit_channel(pos, rate=0.25, phase=0.0):
+        pos = np.asarray(pos, np.float32)
+
+        def fn(t):
+            ang = rate * t + phase
+            c, s = np.cos(ang), np.sin(ang)
+            x, y, z = pos
+            return np.asarray((c * x + s * z, y, -s * x + c * z),
+                              np.float32)
+
+        return AnimChannel.from_fn(fn, 0.0, 2.0, knots=geo_knots)
 
     # Volumetrics (src/setup.rs:55-60)
     if volume:
@@ -47,7 +65,13 @@ def default_scene(resolution=(1280, 720), world_radius: float = 100.0,
     mandelbox = sdf_ops.mandelbox(
         iterations=fractal_iterations, box_fold_l=1.0,
         sphere_min_rad=0.01, sphere_fixed_rad=1.9, scale=-2.1)
-    b.set_sdf(mandelbox, grey)
+    # Bounding sphere for shadow-segment clipping: measured numerically
+    # (3M volume samples + 200K directional samples per radius) — the
+    # {DE < 1e-3} shell of this MandelBox ends at |p| = 2.78 and DE
+    # grows linearly (≈ |p| - 3.46) past r = 3.5; 3.6 adds margin.
+    # The max shadow-march hit epsilon is 1e-5*detail*t <= 1e-3 at
+    # t = 2*world_radius, so no occlusion hit can occur outside 3.6.
+    b.set_sdf(mandelbox, grey, bound_radius=3.6)
 
     # Lights (src/setup.rs:100-122)
     green = _normalized((1.5, 4.5, 3.0))
@@ -56,9 +80,14 @@ def default_scene(resolution=(1280, 720), world_radius: float = 100.0,
     green_emissive = b.add_emissive(green * 3.0)
 
     light_pairs = [((1.2, -1.2, 1.2), 0.15), ((-1.2, 1.2, 1.2), 0.15)]
-    for pos, rad in light_pairs:
+    for i, (pos, rad) in enumerate(light_pairs):
         pos = np.asarray(pos, np.float32)
         green_pos = pos * np.asarray((1.0, -1.0, 1.0), np.float32)
+        if animated_geo:
+            # co-moving light + emissive body: identical channels keep
+            # the MIS pairing autodetect (scene.build) intact
+            green_pos = _orbit_channel(green_pos, phase=0.6 * i)
+            pos = _orbit_channel(pos, phase=0.3 + 0.6 * i)
         b.add_sphere_light(green_pos, rad, green * 40.0)
         b.add_sphere_light(pos, rad, blue * 40.0)
         b.add_sphere(green_pos, rad - 0.01, green_emissive)

@@ -79,10 +79,18 @@ class SceneStatic:
     sdf_mat: int                   # material id of the SDF surface
     has_scattering: bool
     has_extinction: bool
+    # iteration-reduction factory (SdfProgram.reduce_fn) for cheap
+    # shadow-march DE variants; None = not reducible
+    sdf_reduce_fn: Optional[Callable] = None
+    # radius of a sphere centered at the origin that provably contains
+    # the SDF's {|DE| < eps} shell; 0.0 = unknown. Lets shadow marches
+    # clip segments to the bounding volume (see ops/march.py occlusion).
+    sdf_bound_radius: float = 0.0
 
     def sdf_program(self, data: SceneData) -> SdfProgram:
         assert self.has_sdf
-        return SdfProgram(self.sdf_fn, data.sdf_params, self.sdf_fn_c)
+        return SdfProgram(self.sdf_fn, data.sdf_params, self.sdf_fn_c,
+                          self.sdf_reduce_fn)
 
 
 def sphere_centers_at(data: SceneData, time: jnp.ndarray) -> jnp.ndarray:
@@ -135,6 +143,7 @@ class SceneBuilder:
         self._light_emission: list[np.ndarray] = []
         self._sdf: Optional[SdfProgram] = None
         self._sdf_mat: int = -1
+        self._sdf_bound: float = 0.0
         self._sigma_s: Optional[float] = None
         self._sigma_t: Optional[float] = None
         self._pairs: dict[int, int] = {}  # sphere id -> light id
@@ -195,11 +204,17 @@ class SceneBuilder:
         self._sphere_mats.append(int(material))
         return len(self._sphere_radii) - 1
 
-    def set_sdf(self, program: SdfProgram, material: int) -> None:
+    def set_sdf(self, program: SdfProgram, material: int,
+                bound_radius: float = 0.0) -> None:
         """Attach the (single) traced SDF (reference src/sdf.rs:12-21;
-        one TracedSDF in the default scene, src/setup.rs:78-86)."""
+        one TracedSDF in the default scene, src/setup.rs:78-86).
+
+        bound_radius: optional origin-centered bounding-sphere radius
+        that provably contains the SDF's hit shell ({|DE| < eps});
+        enables shadow-segment bounding-volume clipping."""
         self._sdf = program
         self._sdf_mat = int(material)
+        self._sdf_bound = float(bound_radius)
 
     # --- lights (reference src/light.rs:19-34) -----------------------------
     def add_sphere_light(self, pos, radius: float, emission) -> int:
@@ -291,5 +306,7 @@ class SceneBuilder:
             sdf_mat=self._sdf_mat,
             has_scattering=self._sigma_s is not None,
             has_extinction=self._sigma_t is not None,
+            sdf_reduce_fn=self._sdf.reduce_fn if self._sdf else None,
+            sdf_bound_radius=self._sdf_bound,
         )
         return data, static

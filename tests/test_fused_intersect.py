@@ -48,7 +48,7 @@ def test_fused_intersect_matches_unfused(interpret_fused):
     assert intersect_pallas.fused_intersect_ok(
         s, static, data, static.sdf_program(data))
     hit, info = intersect_pallas.closest_hit_shading(
-        data, static, s, o, d, hps_abs, hps_lin, in_range)
+        data, static, s, o, d, hps_abs, hps_lin, in_range, tm)
 
     np.testing.assert_array_equal(np.asarray(hit.valid),
                                   np.asarray(hit_ref.valid))
@@ -69,6 +69,44 @@ def test_fused_intersect_matches_unfused(interpret_fused):
                                rtol=1e-4, atol=1e-7)
 
 
+def test_fused_intersect_animated_geo(interpret_fused):
+    """Multi-knot sphere-center channels (orbiting lights' emissive
+    bodies) through the fused intersect kernel: centers are lerped
+    in-kernel at each lane's time and must match the unfused
+    closest_hit + shading_info (which lerp via sphere_centers_at)."""
+    n = 1024
+    res = (32, 32)
+    s = RenderSettings(resolution=res, spp=4, max_marches=64,
+                       rays_per_pass=n)
+    data, static, camera = presets.default_scene(resolution=res,
+                                                 animated_geo=True)
+    assert int(data.sphere_centers.values.shape[1]) > 1
+    o, d, tm, px, si, in_range = _camera_rays(s, data, static, camera, n)
+    ha, hl = camera.half_pixel_size_coeffs()
+    hps_abs = jnp.broadcast_to(ha, (n,))
+    hps_lin = jnp.broadcast_to(hl, (n,))
+    t_max = jnp.full((n,), 2.0 * s.world_radius, jnp.float32)
+    hit_ref = intersect.closest_hit(data, static, s, o, d, tm, t_max,
+                                    hps_abs, hps_lin, in_range)
+    info_ref = intersect.shading_info(data, static, s, hit_ref, o, d, tm,
+                                      hps_abs, hps_lin)
+    assert intersect_pallas.fused_intersect_ok(
+        s, static, data, static.sdf_program(data))
+    hit, info = intersect_pallas.closest_hit_shading(
+        data, static, s, o, d, hps_abs, hps_lin, in_range, tm)
+    np.testing.assert_array_equal(np.asarray(hit.valid),
+                                  np.asarray(hit_ref.valid))
+    np.testing.assert_array_equal(np.asarray(hit.obj),
+                                  np.asarray(hit_ref.obj))
+    np.testing.assert_allclose(np.asarray(hit.t), np.asarray(hit_ref.t),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(info.mat),
+                                  np.asarray(info_ref.mat))
+    np.testing.assert_allclose(np.asarray(info.normal),
+                               np.asarray(info_ref.normal),
+                               rtol=1e-3, atol=2e-4)
+
+
 def test_fused_intersect_no_sdf_scene(interpret_fused):
     """spheres_scene (no SDF): the kernel skips the march/tetra normal
     and must match closest_hit + shading_info on the sphere fold."""
@@ -87,7 +125,7 @@ def test_fused_intersect_no_sdf_scene(interpret_fused):
                                       hps_abs, hps_lin)
     assert intersect_pallas.fused_intersect_ok(s, static, data, None)
     hit, info = intersect_pallas.closest_hit_shading(
-        data, static, s, o, d, hps_abs, hps_lin, in_range)
+        data, static, s, o, d, hps_abs, hps_lin, in_range, tm)
     np.testing.assert_array_equal(np.asarray(hit.valid),
                                   np.asarray(hit_ref.valid))
     np.testing.assert_array_equal(np.asarray(hit.obj),

@@ -1,6 +1,8 @@
 """Full-image fidelity gate: wavefront renderer vs the scalar CPU oracle
 with matched sampler streams. BASELINE.json metric: per-pixel RMSE < 1e-3."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -58,6 +60,36 @@ def test_spheres_scene_matches_oracle(volume):
     assert rmse(got.normal, want["normal"]) < 1e-3
 
 
+def test_spheres_scene_raw_rmse_gate():
+    """BASELINE.json states the fidelity gate as *raw* per-pixel
+    RMSE < 1e-3 vs the CPU oracle. The 8-spp tests above compare on a
+    tone-compressed scale to bound firefly amplification of per-sample
+    f32-vs-f64 divergence; this asserts the gate exactly as stated at
+    64 spp, where the 1/spp per-pixel averaging brings raw RMSE under
+    the stated bound (round-2 verdict weak #4)."""
+    res = (8, 6)
+    spp = 64
+    settings = RenderSettings(resolution=res, spp=spp, max_bounces=3,
+                              volume_marches=2,
+                              rays_per_pass=res[0] * res[1] * spp)
+    data, static, cam = presets.spheres_scene(resolution=res)
+    frame = 1
+    time_range = (frame / 24.0, frame / 24.0 + 1.0 / 24.0)
+    filt = filter_ops.blackman_harris(1.5)
+    fis = filter_ops.build_fis_table(filt, settings.filter_table_size)
+
+    film = renderer.render_frame(data, static, settings, cam, frame=frame,
+                                 time_range=time_range, filter=filt)
+    got = film_mod.resolve(film, res)
+    want = oracle_renderer.render_oracle(
+        data, static, settings, cam, frame, time_range, fis)
+
+    assert rmse(got.color, want["color"]) < 1e-3
+    assert rmse(got.alpha, want["alpha"]) < 1e-3
+    assert rmse(got.background, want["background"]) < 1e-3
+    assert rmse(got.normal, want["normal"]) < 1e-3
+
+
 def test_fractal_scene_matches_oracle():
     # Full SDF path vs the scalar oracle: primary march, shadow marches,
     # tetrahedral normals, origin offsets, volumetrics. Tiny frame (the
@@ -89,3 +121,35 @@ def test_fractal_scene_matches_oracle():
     assert rmse(tone(got.color), tone(want["color"])) < 5e-3
     assert rmse(got.alpha, want["alpha"]) < 5e-3
     assert rmse(tone(got.background), tone(want["background"])) < 1e-3
+
+
+def test_fractal_bv_clip_render_is_exact():
+    """shadow_bv_clip (default ON) must not change the rendered image at
+    all: the 3.6 bounding sphere provably contains the MandelBox hit
+    shell at every iteration count (measured max |p| with DE < 1e-3 is
+    2.82 across iters 4-12; docs/ROUND3_NOTES.md), so every occlusion
+    verdict — and therefore every output — is identical with the clip
+    on or off. (The truncated-DE reduction knobs are NOT exercised here:
+    the round-3 study measured them fidelity-negative for this DE and
+    they ship disabled — BASELINE.md round-3 section.)"""
+    res = (8, 6)
+    base = RenderSettings(resolution=res, spp=4, max_bounces=2,
+                          volume_marches=1, max_marches=40,
+                          max_vis_marches=24, rays_per_pass=1 << 10)
+    data, static, cam = presets.default_scene(resolution=res,
+                                              fractal_iterations=6)
+    frame = 1
+    time_range = (frame / 24.0, frame / 24.0 + 1.0 / 24.0)
+    filt = filter_ops.blackman_harris(1.5)
+
+    films = []
+    for clip in (True, False):
+        settings = dataclasses.replace(base, shadow_bv_clip=clip)
+        films.append(renderer.render_frame(
+            data, static, settings, cam, frame=frame,
+            time_range=time_range, filter=filt))
+    a, b = (film_mod.resolve(f, res) for f in films)
+    np.testing.assert_array_equal(np.asarray(a.color), np.asarray(b.color))
+    np.testing.assert_array_equal(np.asarray(a.alpha), np.asarray(b.alpha))
+    np.testing.assert_array_equal(np.asarray(a.background),
+                                  np.asarray(b.background))

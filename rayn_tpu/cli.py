@@ -92,6 +92,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "point)")
     p.add_argument("--ortho-height", type=float, default=4.0,
                    help="orthographic view height in world units")
+    p.add_argument("--animated-geo", action="store_true",
+                   help="fractal scene with orbiting sphere lights "
+                        "(multi-knot geometry channels; fused in-kernel "
+                        "up to 8 knots)")
+    p.add_argument("--no-shadow-bv-clip", action="store_true",
+                   help="disable the exact bounding-sphere clipping of "
+                        "SDF shadow segments (BASELINE.md round-3)")
+    p.add_argument("--shadow-de-iterations", type=int, default=0,
+                   help="truncated-iteration DE for shadow marches "
+                        "(0 = full; measured fidelity-NEGATIVE for the "
+                        "MandelBox — see BASELINE.md before using)")
     return p
 
 
@@ -124,12 +135,14 @@ def main(argv=None) -> int:
         volume_marches=args.volume_marches, sampler=args.sampler,
         rays_per_pass=args.rays_per_pass, max_marches=args.max_marches,
         use_pallas=not args.no_pallas, mis=args.mis,
-        march_relaxation=args.relax)
+        march_relaxation=args.relax,
+        shadow_bv_clip=not args.no_shadow_bv_clip,
+        shadow_de_iterations=args.shadow_de_iterations)
 
     if args.scene == "fractal":
         data, static, camera = presets.default_scene(
             resolution=res, volume=not args.no_volume,
-            animated=args.animated)
+            animated=args.animated, animated_geo=args.animated_geo)
     else:
         data, static, camera = presets.spheres_scene(resolution=res)
 

@@ -569,38 +569,28 @@ F32_EPS = 1.1920929e-07  # f32::EPSILON (reference src/material.rs:236)
 
 
 # --------------------------------------------------------------------------
-# The fused kernel
+# Shared kernel bodies
+#
+# The three Mosaic kernels (_shadow_kernel, _finish_kernel,
+# _bounce_tail_kernel) are thin wrappers over ONE definition of each
+# pipeline — the round-2 advisor's drift concern: a formula edited in one
+# copy but not another would pass silently until a statistical gate
+# trips. With shared bodies the mega-kernel is the two kernels by
+# construction (the equivalence tests then only guard the load/store
+# plumbing and Mosaic's per-compilation fma choices).
 # --------------------------------------------------------------------------
 
-def _shadow_kernel(cfg, const_ref, frame_ref,
-                   px, py, pz, nx, ny, nz, offs,
-                   ox, oy, oz, dx, dy, dz,
-                   tpx, tpy, tpz, vol_trans,
-                   kind, car, cag, cab, power,
-                   sample_idx, pixel, live, recv, time_r,
-                   *vol_args):
-    """One block's full per-bounce shadow pipeline.
-
-    const_ref: SMEM f32 vector [1, n_leaves + 7*NL + 4*K + 2] packing the
-    SDF parameter leaves, per-light (pos xyz, radius, emission rgb),
-    per-sphere (center xyz, radius), and (sigma_t, sigma_s) — the scene
-    constants the unfused path reads from SceneData arrays (constant
-    1-knot channels only; fused_ok gates this).
-    frame_ref: SMEM i32 vector [1, 1 + 2*L + 2*VM*L]: the frame salt
-    followed by the sampler set ids (light picks, NEE 2d, volume picks,
-    volume 2d — all depth-dependent). Carrying them as runtime scalars
-    keeps the Mosaic kernel identical across bounce depths, so XLA
-    compiles ONE kernel per pass instead of max_bounces+1.
-    vol_args: VM*L pairs of (vol_dist, vol_pdf) refs (march-major, i.e.
-    (m0,i0),(m0,i1),... — precomputed outside because Mosaic lowers no
-    atan2) followed by the three radiance-delta output refs."""
+def _unpack_shadow_const(cfg, const_ref):
+    """Decode the shadow SMEM const vector (layout documented at
+    shadow_radiance): SDF leaves, per-light (TL*3 pos knots, radius,
+    emission rgb, paired flag), per-sphere (TS*3 center knots, radius),
+    (sigma_t, sigma_s), channel time ranges (lt0, lt1, st0, st1)."""
     (fn_c, treedef, n_leaves, sampler, num_1d_sets, L, VM, NL, K,
      has_ext, has_scat, eps_c, eps_l, max_steps,
      correction, vm_correction, bv_r, mis, compat_reflect,
      TL, TS) = cfg
     prm = (_unflatten_params(const_ref, treedef, n_leaves)
            if fn_c is not None else None)
-    # per-light: TL*3 position knots, radius, emission rgb, paired flag
     base = n_leaves
     lstride = 3 * TL + 5
     light_knots = tuple(
@@ -611,7 +601,6 @@ def _shadow_kernel(cfg, const_ref, frame_ref,
         tuple(const_ref[0, base + l * lstride + 3 * TL + j]
               for j in range(5)) for l in range(NL))
     base = base + lstride * NL
-    # per-sphere: TS*3 center knots, radius
     sstride = 3 * TS + 1
     sphere_knots = tuple(
         tuple(tuple(const_ref[0, base + k * sstride + 3 * j + c]
@@ -624,6 +613,14 @@ def _shadow_kernel(cfg, const_ref, frame_ref,
     sigma_s = const_ref[0, base + 1]
     lt0, lt1 = const_ref[0, base + 2], const_ref[0, base + 3]
     st0, st1 = const_ref[0, base + 4], const_ref[0, base + 5]
+    return (prm, light_knots, light_tail, sphere_knots, sphere_rad,
+            sigma_t, sigma_s, (lt0, lt1, st0, st1))
+
+
+def _unpack_shadow_sets(cfg, frame_ref):
+    """(frame_u32, set_pick[L], set_nee[L], set_vol_pick[VM][L],
+    set_vol[VM][L]) from the SMEM i32 vector [frame, set ids...]."""
+    L, VM = cfg[5], cfg[6]
     frame_u32 = frame_ref[0, 0].astype(jnp.uint32)
     set_pick = tuple(frame_ref[0, 1 + i] for i in range(L))
     set_nee = tuple(frame_ref[0, 1 + L + i] for i in range(L))
@@ -634,27 +631,17 @@ def _shadow_kernel(cfg, const_ref, frame_ref,
         tuple(frame_ref[0, 1 + 2 * L + VM * L + m * L + i]
               for i in range(L))
         for m in range(VM))
+    return frame_u32, set_pick, set_nee, set_vol_pick, set_vol
 
-    p_x, p_y, p_z = px[:], py[:], pz[:]
-    n_x, n_y, n_z = nx[:], ny[:], nz[:]
-    off = offs[:]
-    o_x, o_y, o_z = ox[:], oy[:], oz[:]
-    d_x, d_y, d_z = dx[:], dy[:], dz[:]
-    tp_x, tp_y, tp_z = tpx[:], tpy[:], tpz[:]
-    vtr = vol_trans[:]
-    mkind = kind[:]
-    c_r, c_g, c_b = car[:], cag[:], cab[:]
-    pw = power[:]
-    sidx = sample_idx[:].astype(jnp.uint32)
-    pix = pixel[:].astype(jnp.uint32)
-    alive = live[:] != 0
-    receives = recv[:] != 0
-    wo_x, wo_y, wo_z = -d_x, -d_y, -d_z
-    tm = time_r[:]
 
-    # Animated channels: interpolate positions/centers at each lane's
-    # time ONCE per kernel (reused by every NEE + volume sample). For
-    # 1-knot (constant) channels this collapses to the SMEM scalars.
+def _scene_at_time(cfg, consts, tm):
+    """(lights, spheres): per-light (x, y, z, rad, em rgb, paired) and
+    per-sphere (x, y, z, rad) tuples, with animated channels lerped at
+    each lane's time ONCE (reused by every NEE + volume sample). For
+    1-knot (constant) channels this collapses to the SMEM scalars."""
+    NL, K, TL, TS = cfg[7], cfg[8], cfg[19], cfg[20]
+    (_prm, light_knots, light_tail, sphere_knots, sphere_rad,
+     _sig_t, _sig_s, (lt0, lt1, st0, st1)) = consts
     if TL > 1:
         li0, lfrac = _interp_weights(tm, lt0, lt1, TL)
     lights = tuple(
@@ -667,13 +654,35 @@ def _shadow_kernel(cfg, const_ref, frame_ref,
         _interp3(sphere_knots[k], si0, sfrac) + (sphere_rad[k],)
         if TS > 1 else (sphere_knots[k][0] + (sphere_rad[k],))
         for k in range(K))
+    return lights, spheres
 
-    n_vol = 2 * VM * L
-    out_r, out_g, out_b = vol_args[n_vol:n_vol + 3]
-    vd = [[vol_args[2 * (m * L + i)][:] for i in range(L)]
-          for m in range(VM)]
-    vp = [[vol_args[2 * (m * L + i) + 1][:] for i in range(L)]
-          for m in range(VM)]
+
+def _shadow_delta(cfg, consts, frame_u32, sets, lights, spheres, v,
+                  vd, vp):
+    """The per-bounce shadow pipeline (integrator steps 3 + 4) on loaded
+    values `v`; returns the radiance delta (rad_r, rad_g, rad_b).
+    Mirrors integrator.bounce exactly (reference src/integrator.rs:73-132,
+    :207-281); identical sampler streams."""
+    (fn_c, _treedef, _n_leaves, sampler, num_1d_sets, L, VM, NL, K,
+     has_ext, has_scat, eps_c, eps_l, max_steps,
+     correction, vm_correction, bv_r, mis, compat_reflect,
+     _TL, _TS) = cfg
+    prm = consts[0]
+    sigma_t, sigma_s = consts[5], consts[6]
+    set_pick, set_nee, set_vol_pick, set_vol = sets
+    (p_x, p_y, p_z) = v["p"]
+    (n_x, n_y, n_z) = v["n"]
+    off = v["off"]
+    (o_x, o_y, o_z) = v["o"]
+    (d_x, d_y, d_z) = v["d"]
+    (tp_x, tp_y, tp_z) = v["tp"]
+    vtr = v["vtr"]
+    mkind = v["kind"]
+    (c_r, c_g, c_b) = v["ca"]
+    pw = v["pw"]
+    sidx, pix = v["sidx"], v["pix"]
+    alive, receives = v["alive"], v["recv"]
+    (wo_x, wo_y, wo_z) = v["wo"]
 
     rad_r = jnp.zeros_like(p_x)
     rad_g = jnp.zeros_like(p_x)
@@ -775,65 +784,46 @@ def _shadow_kernel(cfg, const_ref, frame_ref,
                 rad_g = rad_g + kg * vis
                 rad_b = rad_b + kb * vis
 
-    out_r[:] = rad_r
-    out_g[:] = rad_g
-    out_b[:] = rad_b
+    return rad_r, rad_g, rad_b
 
 
-def _finish_kernel(cfg, flags_ref, mis_ref,
-                   ox, oy, oz, dx, dy, dz,
-                   tpx, tpy, tpz, rdx, rdy, rdz,
-                   px, py, pz, nx, ny, nz, offs, vol_trans,
-                   live_r, recv_r, sample_idx, pixel,
-                   kind_r, car_r, cag_r, cab_r, cbr_r, cbg_r, cbb_r,
-                   pow_r, ior_r,
-                   co_r, co_g, co_b, bg_r, bg_g, bg_b,
-                   al_in, no_x, no_y, no_z, ppdf_in, obj_r, time_r,
-                   out_ox, out_oy, out_oz, out_dx, out_dy, out_dz,
-                   out_tx, out_ty, out_tz, out_rx, out_ry, out_rz,
-                   out_alive, out_ppdf,
-                   out_cr, out_cg, out_cb, out_br, out_bg, out_bb,
-                   out_al, out_nx, out_ny, out_nz):
-    """Steps 2 + 5-7 of a bounce (emission, scatter, roulette, AOVs,
-    termination) in one kernel; mirrors integrator.bounce step 2 +
-    _finish_bounce (reference src/integrator.rs:64-71, :134-203).
+def _finish_tail(cfg, scalars, mis_read, v, rad_in):
+    """Steps 2 + 5-7 of a bounce (emission incl. MIS weight, scatter,
+    roulette, AOVs, termination) on loaded values `v`; mirrors
+    integrator.bounce step 2 + _finish_bounce (reference
+    src/integrator.rs:64-71, :134-203).
 
-    flags_ref: SMEM i32 [1, 9]: frame, set_fresnel, set_diffuse,
-    set_spec, set_roulette, roulette_on (depth > 2), terminate_all
-    (depth >= max_bounces), aov (depth == 0), mis_on (mis and depth > 0)
-    — runtime scalars so one Mosaic kernel serves every depth.
-    mis_ref: SMEM f32 [1, K*(2 + 3*TL) + 2]: per-sphere (paired flag,
-    paired light radius, paired light pos knots [TL, 3]) then (lt0, lt1)
-    for the BSDF-hit emission MIS weight ([1,1] zeros when mis is
-    off)."""
+    scalars: (frame_u32, set_fres, set_diff, set_spec, set_rr,
+    roulette_on, terminate_all, aov, mis_on) — runtime SMEM scalars so
+    one Mosaic kernel serves every depth.
+    mis_read: j -> SMEM f32 scalar of the emission-MIS const vector
+    (per-sphere (paired flag, paired light radius, pos knots [TL, 3])
+    then (lt0, lt1)); only called when cfg.mis.
+    rad_in: pre-emission radiance (r, g, b) INCLUDING the incoming
+    state radiance (+ any shadow delta).
+
+    Returns the 24 output arrays in the pallas_call output order."""
     (sampler, num_1d_sets, compat, mis, K, NL, L, TL) = cfg
-    frame_u32 = flags_ref[0, 0].astype(jnp.uint32)
-    set_fres = flags_ref[0, 1]
-    set_diff = flags_ref[0, 2]
-    set_spec = flags_ref[0, 3]
-    set_rr = flags_ref[0, 4]
-    roulette_on = flags_ref[0, 5] != 0
-    terminate_all = flags_ref[0, 6] != 0
-    aov = flags_ref[0, 7] != 0
-    mis_on = flags_ref[0, 8] != 0
+    (frame_u32, set_fres, set_diff, set_spec, set_rr,
+     roulette_on, terminate_all, aov, mis_on) = scalars
 
-    o_x, o_y, o_z = ox[:], oy[:], oz[:]
-    d_x, d_y, d_z = dx[:], dy[:], dz[:]
-    tp_x, tp_y, tp_z = tpx[:], tpy[:], tpz[:]
-    n_x, n_y, n_z = nx[:], ny[:], nz[:]
-    p_x, p_y, p_z = px[:], py[:], pz[:]
-    off = offs[:]
-    vtr = vol_trans[:]
-    live = live_r[:] != 0
-    receives = recv_r[:] != 0
-    sidx = sample_idx[:].astype(jnp.uint32)
-    pix = pixel[:].astype(jnp.uint32)
-    kind = kind_r[:]
-    car, cag, cab = car_r[:], cag_r[:], cab_r[:]
-    cbr, cbg, cbb = cbr_r[:], cbg_r[:], cbb_r[:]
-    pw = pow_r[:]
-    ior = ior_r[:]
-    wox, woy, woz = -d_x, -d_y, -d_z
+    (o_x, o_y, o_z) = v["o"]
+    (d_x, d_y, d_z) = v["d"]
+    (tp_x, tp_y, tp_z) = v["tp"]
+    (n_x, n_y, n_z) = v["n"]
+    (p_x, p_y, p_z) = v["p"]
+    off = v["off"]
+    vtr = v["vtr"]
+    live = v["alive"]
+    receives = v["recv"]
+    sidx, pix = v["sidx"], v["pix"]
+    kind = v["kind"]
+    (car, cag, cab) = v["ca"]
+    (cbr, cbg, cbb) = v["cb"]
+    pw = v["pw"]
+    ior = v["ior"]
+    (wox, woy, woz) = v["wo"]
+    tm = v["tm"]
 
     # step 2: emission (Sky gradient / Emissive; reference
     # src/material.rs:444-448, :489-520 + src/integrator.rs:64-71)
@@ -853,19 +843,19 @@ def _finish_kernel(cfg, flags_ref, mis_ref,
         # (mirrors integrator.bounce step 2 mis block). Animated light
         # channels are lerped at each lane's time (mirrors
         # light_position_of / sample_batched_at).
-        obj = obj_r[:]
-        ppdf = ppdf_in[:]
+        obj = v["obj"]
+        ppdf = v["ppdf"]
         stride = 2 + 3 * TL
         if TL > 1:
-            lt0 = mis_ref[0, K * stride]
-            lt1 = mis_ref[0, K * stride + 1]
-            li0, lfrac = _interp_weights(time_r[:], lt0, lt1, TL)
+            lt0 = mis_read(K * stride)
+            lt1 = mis_read(K * stride + 1)
+            li0, lfrac = _interp_weights(tm, lt0, lt1, TL)
         pairf = lpx = lpy = lpz = lrad = 0.0
         for k in range(K):
             m = (obj == k).astype(jnp.float32)
-            pairf = pairf + m * mis_ref[0, k * stride]
-            lrad = lrad + m * mis_ref[0, k * stride + 1]
-            knots = tuple(tuple(mis_ref[0, k * stride + 2 + 3 * j + c]
+            pairf = pairf + m * mis_read(k * stride)
+            lrad = lrad + m * mis_read(k * stride + 1)
+            knots = tuple(tuple(mis_read(k * stride + 2 + 3 * j + c)
                                 for c in range(3)) for j in range(TL))
             kx, ky, kz = (_interp3(knots, li0, lfrac) if TL > 1
                           else knots[0])
@@ -884,9 +874,9 @@ def _finish_kernel(cfg, flags_ref, mis_ref,
         le_r = le_r * w
         le_g = le_g * w
         le_b = le_b * w
-    rad_r = rdx[:] + jnp.where(live, le_r * tp_x * vtr, 0.0)
-    rad_g = rdy[:] + jnp.where(live, le_g * tp_y * vtr, 0.0)
-    rad_b = rdz[:] + jnp.where(live, le_b * tp_z * vtr, 0.0)
+    rad_r = rad_in[0] + jnp.where(live, le_r * tp_x * vtr, 0.0)
+    rad_g = rad_in[1] + jnp.where(live, le_g * tp_y * vtr, 0.0)
+    rad_b = rad_in[2] + jnp.where(live, le_b * tp_z * vtr, 0.0)
 
     # step 5: scatter + throughput + roulette
     u_f = _sample_1d(sampler, frame_u32, set_fres, sidx, pix)
@@ -917,21 +907,21 @@ def _finish_kernel(cfg, flags_ref, mis_ref,
 
     # step 6: depth-0 AOVs
     aov_set = aov & receives
-    al = jnp.where(aov_set, 1.0, al_in[:])
-    nout_x = jnp.where(aov_set, n_x, no_x[:])
-    nout_y = jnp.where(aov_set, n_y, no_y[:])
-    nout_z = jnp.where(aov_set, n_z, no_z[:])
+    al = jnp.where(aov_set, 1.0, v["al_in"])
+    nout_x = jnp.where(aov_set, n_x, v["no"][0])
+    nout_y = jnp.where(aov_set, n_y, v["no"][1])
+    nout_z = jnp.where(aov_set, n_z, v["no"][2])
 
     # step 7: termination bookkeeping
     non_recv = live & jnp.logical_not(receives)
     bgsel = aov & non_recv
-    b_r = jnp.where(bgsel, rad_r, bg_r[:])
-    b_g = jnp.where(bgsel, rad_g, bg_g[:])
-    b_b = jnp.where(bgsel, rad_b, bg_b[:])
+    b_r = jnp.where(bgsel, rad_r, v["bg"][0])
+    b_g = jnp.where(bgsel, rad_g, v["bg"][1])
+    b_b = jnp.where(bgsel, rad_b, v["bg"][2])
     csel = jnp.logical_not(aov) & non_recv
-    c_r = jnp.where(csel, rad_r, co_r[:])
-    c_g = jnp.where(csel, rad_g, co_g[:])
-    c_b = jnp.where(csel, rad_b, co_b[:])
+    c_r = jnp.where(csel, rad_r, v["co"][0])
+    c_g = jnp.where(csel, rad_g, v["co"][1])
+    c_b = jnp.where(csel, rad_b, v["co"][2])
     recv_done = receives & terminate
     c_r = jnp.where(recv_done, rad_r, c_r)
     c_g = jnp.where(recv_done, rad_g, c_g)
@@ -950,30 +940,206 @@ def _finish_kernel(cfg, flags_ref, mis_ref,
     fz = jnp.where(tp_nan, tp_z, ntp_z)
     next_pdf = jnp.where(kind == REFRACTIVE, -1.0, pdf)
 
-    out_ox[:] = jnp.where(survive, no_ox, o_x)
-    out_oy[:] = jnp.where(survive, no_oy, o_y)
-    out_oz[:] = jnp.where(survive, no_oz, o_z)
-    out_dx[:] = jnp.where(survive, wix, d_x)
-    out_dy[:] = jnp.where(survive, wiy, d_y)
-    out_dz[:] = jnp.where(survive, wiz, d_z)
-    out_tx[:] = jnp.where(survive, fx, tp_x)
-    out_ty[:] = jnp.where(survive, fy, tp_y)
-    out_tz[:] = jnp.where(survive, fz, tp_z)
-    out_rx[:] = rad_r
-    out_ry[:] = rad_g
-    out_rz[:] = rad_b
-    out_alive[:] = survive.astype(jnp.int32)
-    out_ppdf[:] = jnp.where(survive, next_pdf, ppdf_in[:])
-    out_cr[:] = c_r
-    out_cg[:] = c_g
-    out_cb[:] = c_b
-    out_br[:] = b_r
-    out_bg[:] = b_g
-    out_bb[:] = b_b
-    out_al[:] = al
-    out_nx[:] = nout_x
-    out_ny[:] = nout_y
-    out_nz[:] = nout_z
+    return (jnp.where(survive, no_ox, o_x),
+            jnp.where(survive, no_oy, o_y),
+            jnp.where(survive, no_oz, o_z),
+            jnp.where(survive, wix, d_x),
+            jnp.where(survive, wiy, d_y),
+            jnp.where(survive, wiz, d_z),
+            jnp.where(survive, fx, tp_x),
+            jnp.where(survive, fy, tp_y),
+            jnp.where(survive, fz, tp_z),
+            rad_r, rad_g, rad_b,
+            survive.astype(jnp.int32),
+            jnp.where(survive, next_pdf, v["ppdf"]),
+            c_r, c_g, c_b, b_r, b_g, b_b,
+            al, nout_x, nout_y, nout_z)
+
+
+# --------------------------------------------------------------------------
+# The fused kernels (thin wrappers over the shared bodies)
+# --------------------------------------------------------------------------
+
+def _shadow_kernel(cfg, const_ref, frame_ref,
+                   px, py, pz, nx, ny, nz, offs,
+                   ox, oy, oz, dx, dy, dz,
+                   tpx, tpy, tpz, vol_trans,
+                   kind, car, cag, cab, power,
+                   sample_idx, pixel, live, recv, time_r,
+                   *vol_args):
+    """One block's full per-bounce shadow pipeline.
+
+    const_ref: SMEM f32 vector packing the SDF parameter leaves,
+    per-light/per-sphere constants and channel knots (layout in
+    _unpack_shadow_const / shadow_radiance).
+    frame_ref: SMEM i32 vector [1, 1 + 2*L + 2*VM*L]: the frame salt
+    followed by the sampler set ids (light picks, NEE 2d, volume picks,
+    volume 2d — all depth-dependent). Carrying them as runtime scalars
+    keeps the Mosaic kernel identical across bounce depths, so XLA
+    compiles ONE kernel per pass instead of max_bounces+1.
+    vol_args: VM*L pairs of (vol_dist, vol_pdf) refs (march-major, i.e.
+    (m0,i0),(m0,i1),... — precomputed outside because Mosaic lowers no
+    atan2) followed by the three radiance-delta output refs."""
+    L, VM = cfg[5], cfg[6]
+    consts = _unpack_shadow_const(cfg, const_ref)
+    frame_u32, set_pick, set_nee, set_vol_pick, set_vol = \
+        _unpack_shadow_sets(cfg, frame_ref)
+
+    d_x, d_y, d_z = dx[:], dy[:], dz[:]
+    tm = time_r[:]
+    v = dict(
+        p=(px[:], py[:], pz[:]), n=(nx[:], ny[:], nz[:]), off=offs[:],
+        o=(ox[:], oy[:], oz[:]), d=(d_x, d_y, d_z),
+        tp=(tpx[:], tpy[:], tpz[:]), vtr=vol_trans[:],
+        kind=kind[:], ca=(car[:], cag[:], cab[:]), pw=power[:],
+        sidx=sample_idx[:].astype(jnp.uint32),
+        pix=pixel[:].astype(jnp.uint32),
+        alive=live[:] != 0, recv=recv[:] != 0,
+        wo=(-d_x, -d_y, -d_z), tm=tm,
+    )
+    lights, spheres = _scene_at_time(cfg, consts, tm)
+
+    n_vol = 2 * VM * L
+    out_r, out_g, out_b = vol_args[n_vol:n_vol + 3]
+    vd = [[vol_args[2 * (m * L + i)][:] for i in range(L)]
+          for m in range(VM)]
+    vp = [[vol_args[2 * (m * L + i) + 1][:] for i in range(L)]
+          for m in range(VM)]
+
+    rad_r, rad_g, rad_b = _shadow_delta(
+        cfg, consts, frame_u32,
+        (set_pick, set_nee, set_vol_pick, set_vol),
+        lights, spheres, v, vd, vp)
+    out_r[:] = rad_r
+    out_g[:] = rad_g
+    out_b[:] = rad_b
+
+
+def _finish_kernel(cfg, flags_ref, mis_ref,
+                   ox, oy, oz, dx, dy, dz,
+                   tpx, tpy, tpz, rdx, rdy, rdz,
+                   px, py, pz, nx, ny, nz, offs, vol_trans,
+                   live_r, recv_r, sample_idx, pixel,
+                   kind_r, car_r, cag_r, cab_r, cbr_r, cbg_r, cbb_r,
+                   pow_r, ior_r,
+                   co_r, co_g, co_b, bg_r, bg_g, bg_b,
+                   al_in, no_x, no_y, no_z, ppdf_in, obj_r, time_r,
+                   out_ox, out_oy, out_oz, out_dx, out_dy, out_dz,
+                   out_tx, out_ty, out_tz, out_rx, out_ry, out_rz,
+                   out_alive, out_ppdf,
+                   out_cr, out_cg, out_cb, out_br, out_bg, out_bb,
+                   out_al, out_nx, out_ny, out_nz):
+    """Steps 2 + 5-7 of a bounce in one kernel (body: _finish_tail).
+
+    flags_ref: SMEM i32 [1, 9]: frame, set_fresnel, set_diffuse,
+    set_spec, set_roulette, roulette_on (depth > 2), terminate_all
+    (depth >= max_bounces), aov (depth == 0), mis_on (mis and depth > 0).
+    mis_ref: SMEM f32 [1, K*(2 + 3*TL) + 2]: the emission-MIS const
+    vector ([1,1] zeros when mis is off)."""
+    scalars = (flags_ref[0, 0].astype(jnp.uint32),
+               flags_ref[0, 1], flags_ref[0, 2], flags_ref[0, 3],
+               flags_ref[0, 4], flags_ref[0, 5] != 0,
+               flags_ref[0, 6] != 0, flags_ref[0, 7] != 0,
+               flags_ref[0, 8] != 0)
+    d_x, d_y, d_z = dx[:], dy[:], dz[:]
+    v = dict(
+        o=(ox[:], oy[:], oz[:]), d=(d_x, d_y, d_z),
+        tp=(tpx[:], tpy[:], tpz[:]),
+        n=(nx[:], ny[:], nz[:]), p=(px[:], py[:], pz[:]), off=offs[:],
+        vtr=vol_trans[:], alive=live_r[:] != 0, recv=recv_r[:] != 0,
+        sidx=sample_idx[:].astype(jnp.uint32),
+        pix=pixel[:].astype(jnp.uint32),
+        kind=kind_r[:], ca=(car_r[:], cag_r[:], cab_r[:]),
+        cb=(cbr_r[:], cbg_r[:], cbb_r[:]), pw=pow_r[:], ior=ior_r[:],
+        wo=(-d_x, -d_y, -d_z), tm=time_r[:],
+        co=(co_r[:], co_g[:], co_b[:]), bg=(bg_r[:], bg_g[:], bg_b[:]),
+        al_in=al_in[:], no=(no_x[:], no_y[:], no_z[:]),
+        ppdf=ppdf_in[:], obj=obj_r[:],
+    )
+    outs = _finish_tail(cfg, scalars, lambda j: mis_ref[0, j], v,
+                        (rdx[:], rdy[:], rdz[:]))
+    out_refs = (out_ox, out_oy, out_oz, out_dx, out_dy, out_dz,
+                out_tx, out_ty, out_tz, out_rx, out_ry, out_rz,
+                out_alive, out_ppdf,
+                out_cr, out_cg, out_cb, out_br, out_bg, out_bb,
+                out_al, out_nx, out_ny, out_nz)
+    for ref, val in zip(out_refs, outs):
+        ref[:] = val
+
+
+def _bounce_tail_kernel(cfg, const_ref, frame_ref,
+                        px, py, pz, nx, ny, nz, offs,
+                        ox, oy, oz, dx, dy, dz,
+                        tpx, tpy, tpz, vol_trans,
+                        kind, car, cag, cab, cbr, cbg, cbb, pow_r, ior_r,
+                        sample_idx, pixel, live, recv, time_r,
+                        rdx, rdy, rdz,
+                        co_r, co_g, co_b, bg_r, bg_g, bg_b,
+                        al_in, no_x, no_y, no_z, ppdf_in, obj_r,
+                        *vol_and_outs):
+    """Whole bounce tail (steps 2-7) in ONE kernel: the shadow body
+    computes its radiance delta in registers and the finish body
+    consumes it without the HBM round trip of the two-kernel path.
+
+    cfg = (shadow_cfg, finish_cfg, n_shadow_const): the exact cfg tuples
+    of _shadow_kernel and _finish_kernel, plus the offset of the
+    emission-MIS const vector inside const_ref.
+    frame_ref: SMEM i32 [1, 1 + 2L + 2*VM*L + 8]: the shadow kernel's
+    frame+set-id vector followed by the finish kernel's flags[1:9]
+    (set_fresnel..mis_on — frame is shared).
+    const_ref: SMEM f32: the shadow const vector followed by the finish
+    mis_const vector."""
+    (shadow_cfg, finish_cfg, n_shadow_const) = cfg
+    L, VM = shadow_cfg[5], shadow_cfg[6]
+    consts = _unpack_shadow_const(shadow_cfg, const_ref)
+    frame_u32, set_pick, set_nee, set_vol_pick, set_vol = \
+        _unpack_shadow_sets(shadow_cfg, frame_ref)
+
+    n_vol = 2 * VM * L
+    vol_args = vol_and_outs[:n_vol]
+    outs_refs = vol_and_outs[n_vol:]
+
+    d_x, d_y, d_z = dx[:], dy[:], dz[:]
+    tm = time_r[:]
+    v = dict(
+        p=(px[:], py[:], pz[:]), n=(nx[:], ny[:], nz[:]), off=offs[:],
+        o=(ox[:], oy[:], oz[:]), d=(d_x, d_y, d_z),
+        tp=(tpx[:], tpy[:], tpz[:]), vtr=vol_trans[:],
+        kind=kind[:], ca=(car[:], cag[:], cab[:]),
+        cb=(cbr[:], cbg[:], cbb[:]), pw=pow_r[:], ior=ior_r[:],
+        sidx=sample_idx[:].astype(jnp.uint32),
+        pix=pixel[:].astype(jnp.uint32),
+        alive=live[:] != 0, recv=recv[:] != 0,
+        wo=(-d_x, -d_y, -d_z), tm=tm,
+        co=(co_r[:], co_g[:], co_b[:]), bg=(bg_r[:], bg_g[:], bg_b[:]),
+        al_in=al_in[:], no=(no_x[:], no_y[:], no_z[:]),
+        ppdf=ppdf_in[:], obj=obj_r[:],
+    )
+    lights, spheres = _scene_at_time(shadow_cfg, consts, tm)
+    vd = [[vol_args[2 * (m * L + i)][:] for i in range(L)]
+          for m in range(VM)]
+    vp = [[vol_args[2 * (m * L + i) + 1][:] for i in range(L)]
+          for m in range(VM)]
+    rad_r, rad_g, rad_b = _shadow_delta(
+        shadow_cfg, consts, frame_u32,
+        (set_pick, set_nee, set_vol_pick, set_vol),
+        lights, spheres, v, vd, vp)
+
+    fbase = 1 + 2 * L + 2 * VM * L
+    scalars = (frame_u32,
+               frame_ref[0, fbase], frame_ref[0, fbase + 1],
+               frame_ref[0, fbase + 2], frame_ref[0, fbase + 3],
+               frame_ref[0, fbase + 4] != 0,
+               frame_ref[0, fbase + 5] != 0,
+               frame_ref[0, fbase + 6] != 0,
+               frame_ref[0, fbase + 7] != 0)
+    # two-kernel association order: (state.radiance + delta) + emission
+    outs = _finish_tail(
+        finish_cfg, scalars,
+        lambda j: const_ref[0, n_shadow_const + j], v,
+        (rdx[:] + rad_r, rdy[:] + rad_g, rdz[:] + rad_b))
+    for ref, val in zip(outs_refs, outs):
+        ref[:] = val
 
 
 def finish_bounce_fused(data, static, settings, tables, depth: int,
@@ -1123,363 +1289,6 @@ def finish_bounce_fused(data, static, settings, tables, depth: int,
         alpha_out=flat(oal),
         normal_out=vec3(onx, ony, onz),
     )
-
-
-def _bounce_tail_kernel(cfg, const_ref, frame_ref,
-                        px, py, pz, nx, ny, nz, offs,
-                        ox, oy, oz, dx, dy, dz,
-                        tpx, tpy, tpz, vol_trans,
-                        kind, car, cag, cab, cbr, cbg, cbb, pow_r, ior_r,
-                        sample_idx, pixel, live, recv, time_r,
-                        rdx, rdy, rdz,
-                        co_r, co_g, co_b, bg_r, bg_g, bg_b,
-                        al_in, no_x, no_y, no_z, ppdf_in, obj_r,
-                        *vol_and_outs):
-    """Whole bounce tail (steps 2-7) in ONE kernel: the shadow pipeline
-    (_shadow_kernel body) computes its radiance delta in registers, and
-    the finish pipeline (_finish_kernel body) consumes it without the
-    HBM round trip of the two-kernel path. Inputs are the union of the
-    two kernels' inputs; outputs are the finish kernel's 24.
-
-    cfg = (shadow_cfg, finish_cfg): the exact cfg tuples of
-    _shadow_kernel and _finish_kernel, so the two bodies read their
-    constants unchanged.
-    frame_ref: SMEM i32 [1, 1 + 2L + 2*VM*L + 8]: the shadow kernel's
-    frame+set-id vector followed by the finish kernel's flags[1:9]
-    (set_fresnel..mis_on — frame is shared).
-    const_ref: SMEM f32: the shadow const vector followed by the finish
-    mis_const vector (offset passed in finish_cfg's extended tail)."""
-    (shadow_cfg, finish_cfg, n_shadow_const) = cfg
-    (fn_c, treedef, n_leaves, sampler, num_1d_sets, L, VM, NL, K,
-     has_ext, has_scat, eps_c, eps_l, max_steps,
-     correction, vm_correction, bv_r, mis_w, compat_reflect,
-     TL, TS) = shadow_cfg
-
-    n_vol = 2 * VM * L
-    vol_args = vol_and_outs[:n_vol]
-    outs = vol_and_outs[n_vol:]
-
-    # ---- shadow pipeline (mirrors _shadow_kernel; radiance delta in
-    # registers) ----
-    prm = (_unflatten_params(const_ref, treedef, n_leaves)
-           if fn_c is not None else None)
-    base = n_leaves
-    lstride = 3 * TL + 5
-    light_knots = tuple(
-        tuple(tuple(const_ref[0, base + l * lstride + 3 * j + c]
-                    for c in range(3)) for j in range(TL))
-        for l in range(NL))
-    light_tail = tuple(
-        tuple(const_ref[0, base + l * lstride + 3 * TL + j]
-              for j in range(5)) for l in range(NL))
-    base = base + lstride * NL
-    sstride = 3 * TS + 1
-    sphere_knots = tuple(
-        tuple(tuple(const_ref[0, base + k * sstride + 3 * j + c]
-                    for c in range(3)) for j in range(TS))
-        for k in range(K))
-    sphere_rad = tuple(const_ref[0, base + k * sstride + 3 * TS]
-                       for k in range(K))
-    base = base + sstride * K
-    sigma_t = const_ref[0, base]
-    sigma_s = const_ref[0, base + 1]
-    lt0, lt1 = const_ref[0, base + 2], const_ref[0, base + 3]
-    st0, st1 = const_ref[0, base + 4], const_ref[0, base + 5]
-    frame_u32 = frame_ref[0, 0].astype(jnp.uint32)
-    set_pick = tuple(frame_ref[0, 1 + i] for i in range(L))
-    set_nee = tuple(frame_ref[0, 1 + L + i] for i in range(L))
-    set_vol_pick = tuple(
-        tuple(frame_ref[0, 1 + 2 * L + m * L + i] for i in range(L))
-        for m in range(VM))
-    set_vol = tuple(
-        tuple(frame_ref[0, 1 + 2 * L + VM * L + m * L + i]
-              for i in range(L))
-        for m in range(VM))
-
-    p_x, p_y, p_z = px[:], py[:], pz[:]
-    n_x, n_y, n_z = nx[:], ny[:], nz[:]
-    off = offs[:]
-    o_x, o_y, o_z = ox[:], oy[:], oz[:]
-    d_x, d_y, d_z = dx[:], dy[:], dz[:]
-    tp_x, tp_y, tp_z = tpx[:], tpy[:], tpz[:]
-    vtr = vol_trans[:]
-    mkind = kind[:]
-    c_r, c_g, c_b = car[:], cag[:], cab[:]
-    pw = pow_r[:]
-    sidx = sample_idx[:].astype(jnp.uint32)
-    pix = pixel[:].astype(jnp.uint32)
-    alive = live[:] != 0
-    receives = recv[:] != 0
-    wo_x, wo_y, wo_z = -d_x, -d_y, -d_z
-    tm = time_r[:]
-
-    if TL > 1:
-        li0, lfrac = _interp_weights(tm, lt0, lt1, TL)
-    lights = tuple(
-        _interp3(light_knots[l], li0, lfrac) + light_tail[l]
-        if TL > 1 else (light_knots[l][0] + light_tail[l])
-        for l in range(NL))
-    if TS > 1:
-        si0, sfrac = _interp_weights(tm, st0, st1, TS)
-    spheres = tuple(
-        _interp3(sphere_knots[k], si0, sfrac) + (sphere_rad[k],)
-        if TS > 1 else (sphere_knots[k][0] + (sphere_rad[k],))
-        for k in range(K))
-
-    vd = [[vol_args[2 * (m * L + i)][:] for i in range(L)]
-          for m in range(VM)]
-    vp = [[vol_args[2 * (m * L + i) + 1][:] for i in range(L)]
-          for m in range(VM)]
-
-    rad_r = jnp.zeros_like(p_x)
-    rad_g = jnp.zeros_like(p_x)
-    rad_b = jnp.zeros_like(p_x)
-
-    for i in range(L):
-        u_pick = _sample_1d(sampler, frame_u32, set_pick[i], sidx, pix)
-        lx, ly, lz, lrad, er, eg, eb, lpair = _pick_light(u_pick, lights)
-        u1, u2 = _sample_2d(sampler, num_1d_sets, frame_u32, set_nee[i],
-                            sidx, pix)
-        ex, ey, ez, pdf = _sample_cone(u1, u2, lx, ly, lz, lrad,
-                                       p_x, p_y, p_z)
-        wfx, wfy, wfz = ex - p_x, ey - p_y, ez - p_z
-        dist = jnp.sqrt(wfx * wfx + wfy * wfy + wfz * wfz)
-        dinv = 1.0 / dist
-        wix, wiy, wiz = wfx * dinv, wfy * dinv, wfz * dinv
-        ndw = n_x * wix + n_y * wiy + n_z * wiz
-        bias = jnp.where(jnp.signbit(ndw), -off, off)
-        sx = p_x + n_x * bias
-        sy = p_y + n_y * bias
-        sz = p_z + n_z * bias
-        fr, fg, fb = _eval_f(mkind, c_r, c_g, c_b, pw,
-                             wo_x, wo_y, wo_z, wix, wiy, wiz,
-                             n_x, n_y, n_z)
-        ndl = jnp.maximum(0.0, ndw)
-        if has_ext:
-            seg_trans = jnp.exp(-sigma_t * dist)
-        else:
-            seg_trans = 1.0
-        scale = (seg_trans / pdf) * (correction * vtr)
-        kr = jnp.where(receives, er * fr * ndl * scale * tp_x, 0.0)
-        kg = jnp.where(receives, eg * fg * ndl * scale * tp_y, 0.0)
-        kb = jnp.where(receives, eb * fb * ndl * scale * tp_z, 0.0)
-        if mis_w:
-            p_bsdf = _eval_pdf(compat_reflect, mkind, pw,
-                               wo_x, wo_y, wo_z, wix, wiy, wiz,
-                               n_x, n_y, n_z)
-            w_light = _power_heuristic(float(L), pdf / NL, 1.0, p_bsdf)
-            w = jnp.where(lpair > 0.0, w_light, 1.0)
-            kr = kr * w
-            kg = kg * w
-            kb = kb * w
-        worth = receives & ((kr != 0.0) | (kg != 0.0) | (kb != 0.0))
-        blocked = _sphere_occluded(spheres, sx, sy, sz, ex, ey, ez)
-        if fn_c is not None:
-            blocked = blocked | _sdf_occluded(
-                fn_c, prm, max_steps, eps_c, eps_l, sx, sy, sz,
-                ex, ey, ez, worth & jnp.logical_not(blocked), bv_r)
-        vis = jnp.logical_not(blocked).astype(jnp.float32) \
-            * worth.astype(jnp.float32)
-        rad_r = rad_r + kr * vis
-        rad_g = rad_g + kg * vis
-        rad_b = rad_b + kb * vis
-
-    if has_scat and VM:
-        inv_4pi = 1.0 / (4.0 * _PI)
-        for m in range(VM):
-            for i in range(L):
-                u_pick = _sample_1d(sampler, frame_u32, set_vol_pick[m][i],
-                                    sidx, pix)
-                (lx, ly, lz, lrad, er, eg, eb,
-                 _lpair) = _pick_light(u_pick, lights)
-                spx = o_x + vd[m][i] * d_x
-                spy = o_y + vd[m][i] * d_y
-                spz = o_z + vd[m][i] * d_z
-                u1, u2 = _sample_2d(sampler, num_1d_sets, frame_u32,
-                                    set_vol[m][i], sidx, pix)
-                ex, ey, ez, light_pdf = _sample_cone(
-                    u1, u2, lx, ly, lz, lrad, spx, spy, spz)
-                sgx, sgy, sgz = ex - spx, ey - spy, ez - spz
-                dist_pl = jnp.sqrt(sgx * sgx + sgy * sgy + sgz * sgz)
-                if has_ext:
-                    seg_trans = jnp.exp(-sigma_t * dist_pl)
-                    to_point = jnp.exp(-sigma_t * vd[m][i])
-                else:
-                    seg_trans = 1.0
-                    to_point = 1.0
-                scale = (inv_4pi * seg_trans / (vp[m][i] * light_pdf)
-                         * vm_correction * sigma_s * to_point)
-                kr = jnp.where(alive, er * scale * tp_x, 0.0)
-                kg = jnp.where(alive, eg * scale * tp_y, 0.0)
-                kb = jnp.where(alive, eb * scale * tp_z, 0.0)
-                worth = alive & ((kr != 0.0) | (kg != 0.0) | (kb != 0.0))
-                blocked = _sphere_occluded(spheres, spx, spy, spz,
-                                           ex, ey, ez)
-                if fn_c is not None:
-                    blocked = blocked | _sdf_occluded(
-                        fn_c, prm, max_steps, eps_c, eps_l,
-                        spx, spy, spz, ex, ey, ez,
-                        worth & jnp.logical_not(blocked), bv_r)
-                vis = jnp.logical_not(blocked).astype(jnp.float32) \
-                    * worth.astype(jnp.float32)
-                rad_r = rad_r + kr * vis
-                rad_g = rad_g + kg * vis
-                rad_b = rad_b + kb * vis
-
-    # ---- finish pipeline (mirrors _finish_kernel; the two-kernel path's
-    # radiance input rdx/rdy/rdz + delta is formed here, keeping the
-    # same state.radiance + delta association order) ----
-    (sampler_f, num_1d_sets_f, compat, mis, Kf, NLf, Lf, TLf) = finish_cfg
-    fbase = 1 + 2 * L + 2 * VM * L
-    set_fres = frame_ref[0, fbase]
-    set_diff = frame_ref[0, fbase + 1]
-    set_spec = frame_ref[0, fbase + 2]
-    set_rr = frame_ref[0, fbase + 3]
-    roulette_on = frame_ref[0, fbase + 4] != 0
-    terminate_all = frame_ref[0, fbase + 5] != 0
-    aov = frame_ref[0, fbase + 6] != 0
-    mis_on = frame_ref[0, fbase + 7] != 0
-
-    (out_ox, out_oy, out_oz, out_dx, out_dy, out_dz,
-     out_tx, out_ty, out_tz, out_rx, out_ry, out_rz,
-     out_alive, out_ppdf,
-     out_cr, out_cg, out_cb, out_br, out_bg, out_bb,
-     out_al, out_nx, out_ny, out_nz) = outs
-
-    live_b = alive
-    cbr_, cbg_, cbb_ = cbr[:], cbg[:], cbb[:]
-    ior = ior_r[:]
-
-    t_sky = 0.5 * (wo_y + 1.0)
-    is_sky = mkind == SKY
-    is_em = mkind == EMISSIVE
-    le_r = jnp.where(is_sky, c_r * (1.0 - t_sky) + cbr_ * t_sky,
-                     jnp.where(is_em, cbr_, 0.0))
-    le_g = jnp.where(is_sky, c_g * (1.0 - t_sky) + cbg_ * t_sky,
-                     jnp.where(is_em, cbg_, 0.0))
-    le_b = jnp.where(is_sky, c_b * (1.0 - t_sky) + cbb_ * t_sky,
-                     jnp.where(is_em, cbb_, 0.0))
-    if mis and Kf and NLf:
-        obj = obj_r[:]
-        ppdf = ppdf_in[:]
-        stride = 2 + 3 * TLf
-        if TLf > 1:
-            mlt0 = const_ref[0, n_shadow_const + Kf * stride]
-            mlt1 = const_ref[0, n_shadow_const + Kf * stride + 1]
-            mli0, mlfrac = _interp_weights(tm, mlt0, mlt1, TLf)
-        pairf = lpx = lpy = lpz = lrad = 0.0
-        for k in range(Kf):
-            m = (obj == k).astype(jnp.float32)
-            kb_ = n_shadow_const + k * stride
-            pairf = pairf + m * const_ref[0, kb_]
-            lrad = lrad + m * const_ref[0, kb_ + 1]
-            knots = tuple(tuple(const_ref[0, kb_ + 2 + 3 * j + c]
-                                for c in range(3)) for j in range(TLf))
-            kx, ky, kz = (_interp3(knots, mli0, mlfrac) if TLf > 1
-                          else knots[0])
-            lpx = lpx + m * kx
-            lpy = lpy + m * ky
-            lpz = lpz + m * kz
-        is_paired = (mis_on & (obj >= 0) & (obj < Kf)
-                     & (pairf > 0.0) & (ppdf >= 0.0))
-        dlx, dly, dlz = lpx - o_x, lpy - o_y, lpz - o_z
-        d2 = dlx * dlx + dly * dly + dlz * dlz
-        cos_theta_max = jnp.sqrt(
-            jnp.maximum(0.0, 1.0 - lrad * lrad / d2))
-        q = 1.0 / (_TWO_PI * (1.0 - cos_theta_max)) / NLf
-        w_bsdf = _power_heuristic(1.0, ppdf, float(Lf), q)
-        w = jnp.where(is_paired, w_bsdf, 1.0)
-        le_r = le_r * w
-        le_g = le_g * w
-        le_b = le_b * w
-    # two-kernel association order: (state.radiance + delta) + emission
-    rad_r = (rdx[:] + rad_r) + jnp.where(live_b, le_r * tp_x * vtr, 0.0)
-    rad_g = (rdy[:] + rad_g) + jnp.where(live_b, le_g * tp_y * vtr, 0.0)
-    rad_b = (rdz[:] + rad_b) + jnp.where(live_b, le_b * tp_z * vtr, 0.0)
-
-    u_f = _sample_1d(sampler_f, frame_u32, set_fres, sidx, pix)
-    u_d1, u_d2 = _sample_2d(sampler_f, num_1d_sets_f, frame_u32, set_diff,
-                            sidx, pix)
-    u_s1, u_s2 = _sample_2d(sampler_f, num_1d_sets_f, frame_u32, set_spec,
-                            sidx, pix)
-    (wix, wiy, wiz, f_r, f_g, f_b, pdf) = _scatter(
-        compat, mkind, c_r, c_g, c_b, pw, ior,
-        wo_x, wo_y, wo_z, n_x, n_y, n_z, u_f, u_d1, u_d2, u_s1, u_s2)
-    ndl = jnp.abs(wix * n_x + wiy * n_y + wiz * n_z)
-    scale = vtr * (ndl / pdf)
-    ntp_x = tp_x * scale * f_r
-    ntp_y = tp_y * scale * f_g
-    ntp_z = tp_z * scale * f_b
-
-    max_tp = jnp.maximum(tp_x, jnp.maximum(tp_y, tp_z))
-    roulette = jnp.where(roulette_on,
-                         jnp.maximum(1.0 - max_tp, 0.05), 0.0)
-    inv_keep = 1.0 / (1.0 - roulette)
-    ntp_x = ntp_x * inv_keep
-    ntp_y = ntp_y * inv_keep
-    ntp_z = ntp_z * inv_keep
-
-    u_r = _sample_1d(sampler_f, frame_u32, set_rr, sidx, pix)
-    rr_kill = u_r < roulette
-    terminate = terminate_all | rr_kill
-
-    aov_set = aov & receives
-    al = jnp.where(aov_set, 1.0, al_in[:])
-    nout_x = jnp.where(aov_set, n_x, no_x[:])
-    nout_y = jnp.where(aov_set, n_y, no_y[:])
-    nout_z = jnp.where(aov_set, n_z, no_z[:])
-
-    non_recv = live_b & jnp.logical_not(receives)
-    bgsel = aov & non_recv
-    b_r = jnp.where(bgsel, rad_r, bg_r[:])
-    b_g = jnp.where(bgsel, rad_g, bg_g[:])
-    b_b = jnp.where(bgsel, rad_b, bg_b[:])
-    csel = jnp.logical_not(aov) & non_recv
-    cc_r = jnp.where(csel, rad_r, co_r[:])
-    cc_g = jnp.where(csel, rad_g, co_g[:])
-    cc_b = jnp.where(csel, rad_b, co_b[:])
-    recv_done = receives & terminate
-    cc_r = jnp.where(recv_done, rad_r, cc_r)
-    cc_g = jnp.where(recv_done, rad_g, cc_g)
-    cc_b = jnp.where(recv_done, rad_b, cc_b)
-
-    survive = receives & jnp.logical_not(terminate)
-
-    ndw2 = n_x * wix + n_y * wiy + n_z * wiz
-    bias = jnp.where(jnp.signbit(ndw2), -off, off)
-    no_ox = p_x + n_x * bias
-    no_oy = p_y + n_y * bias
-    no_oz = p_z + n_z * bias
-    tp_nan = (jnp.isnan(ntp_x) | jnp.isnan(ntp_y) | jnp.isnan(ntp_z))
-    fx = jnp.where(tp_nan, tp_x, ntp_x)
-    fy = jnp.where(tp_nan, tp_y, ntp_y)
-    fz = jnp.where(tp_nan, tp_z, ntp_z)
-    next_pdf = jnp.where(mkind == REFRACTIVE, -1.0, pdf)
-
-    out_ox[:] = jnp.where(survive, no_ox, o_x)
-    out_oy[:] = jnp.where(survive, no_oy, o_y)
-    out_oz[:] = jnp.where(survive, no_oz, o_z)
-    out_dx[:] = jnp.where(survive, wix, d_x)
-    out_dy[:] = jnp.where(survive, wiy, d_y)
-    out_dz[:] = jnp.where(survive, wiz, d_z)
-    out_tx[:] = jnp.where(survive, fx, tp_x)
-    out_ty[:] = jnp.where(survive, fy, tp_y)
-    out_tz[:] = jnp.where(survive, fz, tp_z)
-    out_rx[:] = rad_r
-    out_ry[:] = rad_g
-    out_rz[:] = rad_b
-    out_alive[:] = survive.astype(jnp.int32)
-    out_ppdf[:] = jnp.where(survive, next_pdf, ppdf_in[:])
-    out_cr[:] = cc_r
-    out_cg[:] = cc_g
-    out_cb[:] = cc_b
-    out_br[:] = b_r
-    out_bg[:] = b_g
-    out_bb[:] = b_b
-    out_al[:] = al
-    out_nx[:] = nout_x
-    out_ny[:] = nout_y
-    out_nz[:] = nout_z
 
 
 def bounce_tail_fused(data, static, settings, tables, depth: int,

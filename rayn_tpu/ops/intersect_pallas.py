@@ -27,9 +27,10 @@ from rayn_tpu.ops.march_pallas import (LANES, _flatten_params, _to_rows,
                                        _unflatten_params)
 
 _MISS = 3.4e38  # ops.spheres.MISS (reference src/sphere.rs:57)
-# sdfu normals_fast tetrahedral taps (ops/sdf.py:_TETRA)
-_TETRA = ((1.0, -1.0, -1.0), (-1.0, 1.0, -1.0),
-          (-1.0, -1.0, 1.0), (1.0, 1.0, 1.0))
+
+# tetrahedral taps single-sourced from ops/sdf.py (sdfu normals_fast
+# directions); the python-tuple form serves the in-kernel unrolled loop
+from rayn_tpu.ops.sdf import TETRA_TAPS as _TETRA
 
 # Test hook (see shade_pallas.INTERPRET)
 INTERPRET = False

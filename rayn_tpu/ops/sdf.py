@@ -231,10 +231,12 @@ def rounded(a: SdfProgram, radius: float) -> SdfProgram:
 # Normal estimation
 # ---------------------------------------------------------------------------
 
-_TETRA = jnp.asarray([[1.0, -1.0, -1.0],
-                      [-1.0, 1.0, -1.0],
-                      [-1.0, -1.0, 1.0],
-                      [1.0, 1.0, 1.0]], jnp.float32)
+# sdfu normals_fast tetrahedral tap directions. Plain python tuples —
+# the single source for BOTH the jnp path below and the static in-kernel
+# loops (ops/intersect_pallas.py), and no device array is created at
+# import time (a module import must not require a live backend).
+TETRA_TAPS = ((1.0, -1.0, -1.0), (-1.0, 1.0, -1.0),
+              (-1.0, -1.0, 1.0), (1.0, 1.0, 1.0))
 
 
 def tetrahedral_normal(sdf: SdfProgram, p: jnp.ndarray,
@@ -247,7 +249,7 @@ def tetrahedral_normal(sdf: SdfProgram, p: jnp.ndarray,
     """
     e = eps[..., None]
     n = jnp.zeros_like(p)
-    for i in range(4):
-        k = _TETRA[i]
+    for tap in TETRA_TAPS:
+        k = jnp.asarray(tap, p.dtype)
         n = n + k * sdf.dist(p + k * e)[..., None]
     return vecmath.normalize(n, eps=1e-20)

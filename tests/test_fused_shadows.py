@@ -287,3 +287,32 @@ def test_bounce_tail_megakernel_mis_animated(interpret_fused):
                 np.asarray(getattr(b, field))
             np.testing.assert_array_equal(
                 va, vb, err_msg=f"{field} differs at depth {d}")
+
+
+def test_fallback_warns_once(interpret_fused):
+    """An eligibility-cliff fallback must warn (round-2 verdict: silent
+    ~2x cliffs) — and only once per (feature, reason) per process."""
+    import warnings
+
+    res = (16, 16)
+    settings = RenderSettings(resolution=res, spp=1, rays_per_pass=256,
+                              march_relaxation=1.4,
+                              use_fused_shadows=True)
+    data, static, camera = presets.default_scene(resolution=res)
+    prog = static.sdf_program(data)
+
+    shade_pallas._WARNED.clear()
+    with pytest.warns(RuntimeWarning, match="march_relaxation"):
+        assert not shade_pallas.fused_ok(settings, static, data, prog)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # a second warning would raise
+        assert not shade_pallas.fused_ok(settings, static, data, prog)
+
+    # a >8-knot channel is a distinct reason and warns separately
+    many = presets.default_scene(resolution=res, animated_geo=True,
+                                 geo_knots=9)
+    mdata, mstatic, _ = many
+    with pytest.warns(RuntimeWarning, match="knots"):
+        assert not shade_pallas.fused_ok(
+            RenderSettings(resolution=res, spp=1, rays_per_pass=256),
+            mstatic, mdata, mstatic.sdf_program(mdata))

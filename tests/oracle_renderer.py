@@ -83,12 +83,30 @@ def schlick(c, f0=0.04):
     return f0 + (1 - f0) * (1 - c) ** 5
 
 
+def _channel_at(knots, t0, t1, t):
+    """[K] objects' [T]-knot uniform channel lerped at scalar time t."""
+    T = knots.shape[1]
+    if T == 1:
+        return knots[:, 0, :]
+    u = (t - t0) / (t1 - t0) * (T - 1)
+    u = min(max(u, 0.0), float(T - 1))
+    i0 = min(int(np.floor(u)), T - 2)
+    frac = u - i0
+    return knots[:, i0, :] * (1.0 - frac) + knots[:, i0 + 1, :] * frac
+
+
 class OracleScene:
     """Mirror of SceneData/SceneStatic: spheres, lights, materials, and
     (optionally) the MandelBox SDF — all marched scalar-style."""
 
     def __init__(self, data, static, settings=None, sdf_iters=12):
-        self.centers = np.asarray(data.sphere_centers.values)[:, 0, :]
+        # full knot grids so animated channels can be lerped at each
+        # ray's time (set_time); knot 0 doubles as the static value
+        self.center_knots = np.asarray(data.sphere_centers.values,
+                                       np.float64)
+        self.centers = self.center_knots[:, 0, :]
+        self.sph_t = (float(data.sphere_centers.t0),
+                      float(data.sphere_centers.t1))
         self.radii = np.asarray(data.sphere_radii)
         self.mats = np.asarray(data.sphere_mats)
         self.kind = np.asarray(data.materials.kind)
@@ -96,7 +114,12 @@ class OracleScene:
         self.color_b = np.asarray(data.materials.color_b, np.float64)
         self.power = np.asarray(data.materials.power, np.float64)
         self.ior = np.asarray(data.materials.ior, np.float64)
-        self.lights_p = np.asarray(data.light_pos.values)[:, 0, :]
+        self.light_knots = np.asarray(data.light_pos.values, np.float64)
+        self.lights_p = self.light_knots[:, 0, :]
+        self.light_t = (float(data.light_pos.t0),
+                        float(data.light_pos.t1))
+        self.animated = (self.center_knots.shape[1] > 1
+                         or self.light_knots.shape[1] > 1)
         self.lights_r = np.asarray(data.light_radii)
         self.lights_e = np.asarray(data.light_emission, np.float64)
         self.sigma_s = float(data.volume_sigma_s) if static.has_scattering else None
@@ -117,6 +140,14 @@ class OracleScene:
         self.detail = settings.sdf_detail_scale if settings else 0.5
         self.max_marches = settings.max_marches if settings else 256
         self.max_vis = settings.max_vis_marches if settings else 100
+
+    def set_time(self, t):
+        """Lerp animated sphere-center / light-position channels at the
+        ray's time; mirrors scene.sphere_centers_at / light_position_of
+        (uniform-grid clip, floor, clamp, lerp — scene/animation.py
+        AnimChannel.sample)."""
+        self.centers = _channel_at(self.center_knots, *self.sph_t, t)
+        self.lights_p = _channel_at(self.light_knots, *self.light_t, t)
 
     def sdf_obj_id(self):
         return len(self.radii)
@@ -201,6 +232,13 @@ def render_oracle(data, static, settings, camera, frame, time_range,
         for px in range(w):
             pix = px + py * w
             for samp in range(s.spp):
+                if scene.animated:
+                    # shutter-time jitter (mirrors renderer.generate_rays;
+                    # the stream is counter-based, so sampling it here
+                    # shifts no other set)
+                    ut = sampler.u1(rng_mod.set1d_time(), pix, samp)
+                    scene.set_time(time_range[0]
+                                   + (time_range[1] - time_range[0]) * ut)
                 upx = sampler.u2(rng_mod.set2d_pixel_uv(), pix, samp)
                 ox = fis_sample(upx[0])
                 oy = fis_sample(upx[1])

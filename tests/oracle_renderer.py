@@ -197,17 +197,25 @@ def render_oracle(data, static, settings, camera, frame, time_range,
     scene = OracleScene(data, static, settings, sdf_iters)
     sampler = OracleSampler(settings, frame, w * h)
 
-    # static pinhole camera parameters
-    org0 = np.asarray(camera.origin.values)[0].astype(np.float64)
-    at0 = np.asarray(camera.at.values)[0].astype(np.float64)
-    up0 = np.asarray(camera.up.values)[0].astype(np.float64)
+    # pinhole camera parameters; animated channels are lerped at each
+    # ray's shutter time (mirrors PinholeCamera.generate + _look_basis)
+    cam_chans = tuple(
+        (np.asarray(ch.values, np.float64), float(ch.t0), float(ch.t1))
+        for ch in (camera.origin, camera.at, camera.up))
+    cam_animated = any(k.shape[0] > 1 for k, _, _ in cam_chans)
     half_w = float(camera.half_w)
     half_h = float(camera.half_h)
-    ww = (org0 - at0) / np.linalg.norm(org0 - at0)
-    uu = np.cross(up0, ww)
-    uu /= np.linalg.norm(uu)
-    vv = np.cross(ww, uu)
-    lower_left = org0 - uu * half_w - vv * half_h - ww
+
+    def camera_at(t):
+        org, at, up = (_channel_at(k[None], t0, t1, t)[0]
+                       for (k, t0, t1) in cam_chans)
+        ww = (org - at) / np.linalg.norm(org - at)
+        uu = np.cross(up, ww)
+        uu /= np.linalg.norm(uu)
+        vv = np.cross(ww, uu)
+        return org, uu, vv, org - uu * half_w - vv * half_h - ww
+
+    org0, uu, vv, lower_left = camera_at(time_range[0])
     hps_lin = float(camera.hps)
 
     fis = np.asarray(fis_table, np.float64)
@@ -232,13 +240,16 @@ def render_oracle(data, static, settings, camera, frame, time_range,
         for px in range(w):
             pix = px + py * w
             for samp in range(s.spp):
-                if scene.animated:
+                if scene.animated or cam_animated:
                     # shutter-time jitter (mirrors renderer.generate_rays;
                     # the stream is counter-based, so sampling it here
                     # shifts no other set)
                     ut = sampler.u1(rng_mod.set1d_time(), pix, samp)
-                    scene.set_time(time_range[0]
-                                   + (time_range[1] - time_range[0]) * ut)
+                    ray_time = (time_range[0]
+                                + (time_range[1] - time_range[0]) * ut)
+                    scene.set_time(ray_time)
+                    if cam_animated:
+                        org0, uu, vv, lower_left = camera_at(ray_time)
                 upx = sampler.u2(rng_mod.set2d_pixel_uv(), pix, samp)
                 ox = fis_sample(upx[0])
                 oy = fis_sample(upx[1])

@@ -187,3 +187,36 @@ def test_animated_geo_scene_matches_oracle():
     assert rmse(tone(got.color), tone(want["color"])) < 5e-3
     assert rmse(got.alpha, want["alpha"]) < 5e-3
     assert rmse(tone(got.background), tone(want["background"])) < 1e-3
+
+
+def test_animated_camera_scene_matches_oracle():
+    """Motion-blurred CAMERA end-to-end vs the scalar oracle: the orbit
+    camera's origin/at channels are lerped at each ray's shutter time
+    (the reference's `Fn(f32) -> Vec3` camera params,
+    src/animation.rs:55-68 + src/camera.rs). Pins the motion-blur raygen
+    semantics absolutely."""
+    res = (8, 6)
+    settings = RenderSettings(resolution=res, spp=4, max_bounces=2,
+                              volume_marches=1, max_marches=40,
+                              max_vis_marches=24, rays_per_pass=1 << 10)
+    data, static, cam = presets.default_scene(resolution=res,
+                                              fractal_iterations=6,
+                                              animated=True)
+    assert int(np.asarray(cam.origin.values).shape[0]) > 1
+    frame = 1
+    time_range = (frame / 24.0, frame / 24.0 + 1.0 / 24.0)
+    filt = filter_ops.blackman_harris(1.5)
+    fis = filter_ops.build_fis_table(filt, settings.filter_table_size)
+
+    film = renderer.render_frame(data, static, settings, cam, frame=frame,
+                                 time_range=time_range, filter=filt)
+    got = film_mod.resolve(film, res)
+    want = oracle_renderer.render_oracle(
+        data, static, settings, cam, frame, time_range, fis, sdf_iters=6)
+
+    def tone(x):
+        return np.asarray(x) / (1.0 + np.asarray(x))
+
+    assert rmse(tone(got.color), tone(want["color"])) < 5e-3
+    assert rmse(got.alpha, want["alpha"]) < 5e-3
+    assert rmse(tone(got.background), tone(want["background"])) < 1e-3

@@ -75,6 +75,15 @@ def selftest() -> str:
     o_pal_r = np.asarray(march_pallas.march_occlusion(
         prog, origin, end, 0.5, 32, active=active, relax=1.5))
     occl_ok = occl_ok and np.array_equal(o_ref_r, o_pal_r)
+    # bounding-volume segment clip: pallas==jnp on real Mosaic too
+    # (verdict-vs-unclipped equality is asserted by the render-level
+    # tests at full step budgets; at this truncated 32-step budget the
+    # clip's entry jump can legitimately resolve step-starved lanes)
+    o_ref_b = np.asarray(march_ops.march_occlusion(
+        prog, origin, end, 0.5, 32, active=active, bound_radius=3.6))
+    o_pal_b = np.asarray(march_pallas.march_occlusion(
+        prog, origin, end, 0.5, 32, active=active, bound_radius=3.6))
+    occl_ok = occl_ok and np.array_equal(o_ref_b, o_pal_b)
 
     if not (march_ok and occl_ok):
         bad = np.flatnonzero(t_ref != t_pal)[:5]

@@ -84,6 +84,15 @@ def selftest() -> str:
     o_pal_b = np.asarray(march_pallas.march_occlusion(
         prog, origin, end, 0.5, 32, active=active, bound_radius=3.6))
     occl_ok = occl_ok and np.array_equal(o_ref_b, o_pal_b)
+    # chained K-segments-per-ray scheduling == per-segment verdicts on
+    # real Mosaic too (scheduling must never change a verdict)
+    K, nseg = 12, n // 12
+    o_chain = np.asarray(march_pallas.march_occlusion_chained(
+        prog, origin[:K * nseg].reshape(K, nseg, 3),
+        end[:K * nseg].reshape(K, nseg, 3), 0.5, 32,
+        active[:K * nseg].reshape(K, nseg),
+        bound_radius=3.6)).reshape(-1)
+    occl_ok = occl_ok and np.array_equal(o_ref_b[:K * nseg], o_chain)
 
     if not (march_ok and occl_ok):
         bad = np.flatnonzero(t_ref != t_pal)[:5]

@@ -137,6 +137,19 @@ class RenderSettings:
     # blocks amortize grid overhead, shadow rays rarely exit early).
     pallas_occl_block_rows: int = 64
 
+    # March each ray's shadow segments (L NEE + volume_marches*L
+    # equi-angular) back-to-back in ONE Pallas while loop instead of one
+    # sequential block-max loop per segment. Every per-segment step
+    # sequence and verdict is untouched (bit-identical, enforced by
+    # tests); only the loop *scheduling* changes: a block then costs
+    # max-over-lanes of per-ray TOTAL steps instead of the sum of
+    # per-segment block maxima — 1.58-1.73x fewer block iterations on
+    # captured in-situ queues (tools/perf_chained_predict.py), at the
+    # price of a one-hot segment-register refresh (~25% of a MandelBox
+    # DE) per iteration. Applies to both the fused shadow kernels and
+    # the unfused batched occlusion call.
+    chained_shadow_march: bool = True
+
     # Two-phase occlusion march: phase 1 marches the whole shadow queue
     # this many steps, then the unresolved stragglers are stable-
     # partitioned to the front and finished densely (all-resolved tail

@@ -118,9 +118,18 @@ def test_occluded(data: SceneData, static: SceneStatic,
                   settings: RenderSettings,
                   start: jnp.ndarray, end: jnp.ndarray,
                   time: jnp.ndarray,
-                  active: jnp.ndarray) -> jnp.ndarray:
+                  active: jnp.ndarray,
+                  segments: int = 1) -> jnp.ndarray:
     """[N] float 1.0 = visible, 0.0 = occluded — the product-fold of
-    per-object occlusion tests (reference src/hitable.rs:163-168)."""
+    per-object occlusion tests (reference src/hitable.rs:163-168).
+
+    segments > 1 declares that the queue is `segments` same-length
+    segment groups concatenated segment-major (lane i of segment k at
+    index k*N/segments + i, all groups belonging to the same rays —
+    the integrator's per-bounce shadow queue). When the Pallas
+    occlusion path is eligible, the SDF marches then run CHAINED per
+    ray (march_pallas.march_occlusion_chained): bit-identical verdicts,
+    1.6-1.7x fewer block iterations (see chained_shadow_march)."""
     occluded = jnp.zeros(start.shape[0], bool)
     if static.n_spheres:
         centers = sphere_centers_at(data, time)
@@ -153,6 +162,19 @@ def test_occluded(data: SceneData, static: SceneStatic,
                 phase1_steps=settings.occl_phase1_steps,
                 block_rows=settings.pallas_occl_block_rows)
         elif settings.use_pallas_occlusion and _pallas_ok(settings, prog):
+            if (segments > 1 and settings.chained_shadow_march
+                    and settings.march_relaxation == 1.0
+                    and start.shape[0] % segments == 0):
+                k, nseg = segments, start.shape[0] // segments
+                m_act = active & jnp.logical_not(occluded)
+                occ_sdf = march_pallas.march_occlusion_chained(
+                    prog, start.reshape(k, nseg, 3),
+                    end.reshape(k, nseg, 3), detail,
+                    settings.max_vis_marches,
+                    m_act.reshape(k, nseg),
+                    block_rows=settings.pallas_occl_block_rows,
+                    bound_radius=bv_r).reshape(-1)
+                return jnp.where(occluded | occ_sdf, 0.0, 1.0)
             occl_fn = functools.partial(
                 march_pallas.march_occlusion,
                 block_rows=settings.pallas_occl_block_rows,

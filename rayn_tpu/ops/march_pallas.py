@@ -799,3 +799,159 @@ def march_occlusion(prog: SdfProgram, start, end, detail_scale: float,
         interpret=interpret,
     )(params, *args)
     return out.reshape(-1)[:n] != 0
+
+
+def _chained_occl_core(fn_c, prm, max_steps, eps_c, eps_l, bound_radius,
+                       segs):
+    """March each lane's K shadow segments back-to-back in ONE while loop.
+
+    The sequential scheme (K separate `_occl_kernel`/`_sdf_occluded`
+    loops over the same block of rays) costs
+
+        sum_k  max_{lane in block} steps[k, lane]
+
+    block iterations, because every loop runs until its own worst lane
+    resolves. Chaining — each lane marches segment 0, advances to
+    segment 1 the moment 0 resolves, and so on — costs
+
+        max_{lane in block}  sum_k steps[k, lane]
+
+    which the captured in-situ shadow queues put at 1.58-1.73x fewer
+    block steps (tools/perf_chained_predict.py; straggler segments do
+    not pile onto the same ray). The price is the per-iteration one-hot
+    refresh of the lane's current-segment registers (8 values x K
+    selects), ~25% of a 12-iteration MandelBox DE.
+
+    Per-segment semantics are exactly `march.march_occlusion` relax=1
+    (reference src/sdf.rs:25-57) including the bounding-volume clip:
+    each segment's step sequence, hit test and final
+    `hit & ~(past_end | nan)` verdict are untouched — only the loop
+    *scheduling* changes — so verdicts are bit-identical to the
+    sequential kernels (asserted by tests/test_march_pallas.py).
+
+    `segs` is a list of K tuples of component vectors
+    (sx, sy, sz, ex, ey, ez, active_bool); returns K bool vectors,
+    occluded per segment. K <= 30 (verdict bits share one int32).
+    """
+    K = len(segs)
+    assert 1 <= K <= 30, K
+    SX, SY, SZ, DX, DY, DZ, MD, T0, NAN = ([] for _ in range(9))
+    for (sx, sy, sz, ex, ey, ez, act) in segs:
+        seg_x, seg_y, seg_z = ex - sx, ey - sy, ez - sz
+        md = jnp.sqrt(seg_x * seg_x + seg_y * seg_y + seg_z * seg_z)
+        inv = 1.0 / md
+        dx, dy, dz = seg_x * inv, seg_y * inv, seg_z * inv
+        dist0 = fn_c(prm, sx, sy, sz)
+        nan = jnp.isnan(dist0) | jnp.logical_not(act)
+        t0 = dist0
+        if bound_radius > 0.0:
+            b = sx * dx + sy * dy + sz * dz
+            c = sx * sx + sy * sy + sz * sz - bound_radius * bound_radius
+            disc = b * b - c
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t_exit = -b + sq
+            bv_miss = (disc <= 0.0) | (t_exit <= 0.0)
+            nan = nan | bv_miss
+            md = jnp.minimum(md, t_exit)
+            t0 = jnp.maximum(dist0, jnp.maximum(-b - sq, 0.0))
+        SX.append(sx), SY.append(sy), SZ.append(sz)
+        DX.append(dx), DY.append(dy), DZ.append(dz)
+        MD.append(md), T0.append(t0), NAN.append(nan.astype(jnp.int32))
+
+    def cond(state):
+        g, seg = state[0], state[1]
+        return jnp.logical_and(g < K * max_steps,
+                               jnp.logical_not(jnp.all(seg >= K)))
+
+    def body(state):
+        (g, seg, stp, bits, t,
+         csx, csy, csz, cdx, cdy, cdz, cmd, cnan) = state
+        gt_nan = (t > cmd) | (cnan != 0)
+        dist = fn_c(prm, csx + t * cdx, csy + t * cdy, csz + t * cdz)
+        hit = jnp.abs(dist) < jnp.maximum(eps_c, eps_l * t)
+        done = hit | gt_nan
+        stp1 = stp + 1
+        live = seg < K
+        adv = (done | (stp1 >= max_steps)) & live
+        verd = hit & jnp.logical_not(gt_nan) & adv
+        t = jnp.where(done, t, t + dist)
+        m = [seg == k for k in range(K)]
+        for k in range(K):
+            bits = bits + jnp.where(verd & m[k], jnp.int32(1 << k), 0)
+        seg = jnp.where(adv, seg + 1, seg)
+        stp = jnp.where(adv, 0, stp1)
+        # refresh the advancing lanes' segment registers (k-1 -> k)
+        for k in range(1, K):
+            upd = adv & m[k - 1]
+            csx = jnp.where(upd, SX[k], csx)
+            csy = jnp.where(upd, SY[k], csy)
+            csz = jnp.where(upd, SZ[k], csz)
+            cdx = jnp.where(upd, DX[k], cdx)
+            cdy = jnp.where(upd, DY[k], cdy)
+            cdz = jnp.where(upd, DZ[k], cdz)
+            cmd = jnp.where(upd, MD[k], cmd)
+            cnan = jnp.where(upd, NAN[k], cnan)
+            t = jnp.where(upd, T0[k], t)
+        return (g + 1, seg, stp, bits, t,
+                csx, csy, csz, cdx, cdy, cdz, cmd, cnan)
+
+    zero_i = jnp.zeros_like(NAN[0])
+    state = (jnp.int32(0), zero_i, zero_i, zero_i, T0[0],
+             SX[0], SY[0], SZ[0], DX[0], DY[0], DZ[0], MD[0], NAN[0])
+    bits = jax.lax.while_loop(cond, body, state)[3]
+    return [(bits & jnp.int32(1 << k)) != 0 for k in range(K)]
+
+
+def _occl_chained_kernel(fn_c, treedef, n_leaves, K, max_steps, eps_c,
+                         eps_l, bound_radius, params_ref,
+                         sx, sy, sz, ex, ey, ez, act, out):
+    prm = _unflatten_params(params_ref, treedef, n_leaves)
+    segs = [(sx[k], sy[k], sz[k], ex[k], ey[k], ez[k], act[k] != 0)
+            for k in range(K)]
+    occ = _chained_occl_core(fn_c, prm, max_steps, eps_c, eps_l,
+                             bound_radius, segs)
+    for k in range(K):
+        out[k] = occ[k].astype(jnp.int32)
+
+
+def march_occlusion_chained(prog: SdfProgram, start, end,
+                            detail_scale: float, max_steps: int, active,
+                            block_rows: int = DEFAULT_BLOCK_ROWS,
+                            interpret: bool = False,
+                            bound_radius: float = 0.0):
+    """Occlusion march over K segments per ray, chained per lane (see
+    `_chained_occl_core`). start/end are [K, N, 3], active [K, N];
+    returns occluded bool [K, N], bit-identical per segment to
+    `march_occlusion(start[k], end[k], ...)`. Blocks hold the SAME ray
+    range for all K segments so each lane owns its K-segment chain."""
+    K, n = start.shape[0], start.shape[1]
+    block_rows = max(block_rows, 8)
+    block = block_rows * LANES
+    n_pad = -(-n // block) * block
+    rows = n_pad // LANES
+
+    params, treedef, n_leaves = _flatten_params(prog.params)
+
+    def to3(a):
+        return jnp.stack([_to_rows(a[k], rows) for k in range(K)])
+
+    args = [to3(start[..., 0]), to3(start[..., 1]), to3(start[..., 2]),
+            to3(end[..., 0]), to3(end[..., 1]), to3(end[..., 2]),
+            to3(active.astype(jnp.int32))]
+    grid = rows // block_rows
+    vspec = pl.BlockSpec((K, block_rows, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+    kernel = functools.partial(_occl_chained_kernel, prog.fn_c, treedef,
+                               n_leaves, K, max_steps,
+                               1e-4 * detail_scale, 1e-5 * detail_scale,
+                               bound_radius)
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((1, max(n_leaves, 1)), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)] + [vspec] * 7,
+        out_specs=vspec,
+        out_shape=jax.ShapeDtypeStruct((K, rows, LANES), jnp.int32),
+        interpret=interpret,
+    )(params, *args)
+    return out.reshape(K, -1)[:, :n] != 0

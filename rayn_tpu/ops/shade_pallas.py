@@ -44,7 +44,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from rayn_tpu.ops.march_pallas import (LANES, _flatten_params, _to_rows,
+from rayn_tpu.ops.march_pallas import (LANES, _chained_occl_core,
+                                       _flatten_params, _to_rows,
                                        _unflatten_params)
 from rayn_tpu.scene.scene import (DIELECTRIC, EMISSIVE, LAMBERT, METALLIC,
                                   REFRACTIVE, SKY)
@@ -588,7 +589,7 @@ def _unpack_shadow_const(cfg, const_ref):
     (fn_c, treedef, n_leaves, sampler, num_1d_sets, L, VM, NL, K,
      has_ext, has_scat, eps_c, eps_l, max_steps,
      correction, vm_correction, bv_r, mis, compat_reflect,
-     TL, TS) = cfg
+     TL, TS, _chained) = cfg
     prm = (_unflatten_params(const_ref, treedef, n_leaves)
            if fn_c is not None else None)
     base = n_leaves
@@ -666,7 +667,7 @@ def _shadow_delta(cfg, consts, frame_u32, sets, lights, spheres, v,
     (fn_c, _treedef, _n_leaves, sampler, num_1d_sets, L, VM, NL, K,
      has_ext, has_scat, eps_c, eps_l, max_steps,
      correction, vm_correction, bv_r, mis, compat_reflect,
-     _TL, _TS) = cfg
+     _TL, _TS, chained) = cfg
     prm = consts[0]
     sigma_t, sigma_s = consts[5], consts[6]
     set_pick, set_nee, set_vol_pick, set_vol = sets
@@ -687,6 +688,15 @@ def _shadow_delta(cfg, consts, frame_u32, sets, lights, spheres, v,
     rad_r = jnp.zeros_like(p_x)
     rad_g = jnp.zeros_like(p_x)
     rad_b = jnp.zeros_like(p_x)
+
+    # Chained scheduling: collect every segment's (geometry, pending
+    # contribution) during the sampling loops, run ONE chained march
+    # over all of them (march_pallas._chained_occl_core — per-segment
+    # verdicts bit-identical to _sdf_occluded), then apply the pending
+    # contributions in the same segment order as the sequential path —
+    # the accumulated radiance is bit-identical either way.
+    use_chained = chained and fn_c is not None
+    seg_list, pend = [], []
 
     # --- NEE surface samples (integrator step 3) ---
     for i in range(L):
@@ -731,6 +741,11 @@ def _shadow_delta(cfg, consts, frame_u32, sets, lights, spheres, v,
             kb = kb * w
         worth = receives & ((kr != 0.0) | (kg != 0.0) | (kb != 0.0))
         blocked = _sphere_occluded(spheres, sx, sy, sz, ex, ey, ez)
+        if use_chained:
+            m_act = worth & jnp.logical_not(blocked)
+            seg_list.append((sx, sy, sz, ex, ey, ez, m_act))
+            pend.append((kr, kg, kb, m_act))
+            continue
         if fn_c is not None:
             blocked = blocked | _sdf_occluded(
                 fn_c, prm, max_steps, eps_c, eps_l, sx, sy, sz,
@@ -773,6 +788,11 @@ def _shadow_delta(cfg, consts, frame_u32, sets, lights, spheres, v,
                 worth = alive & ((kr != 0.0) | (kg != 0.0) | (kb != 0.0))
                 blocked = _sphere_occluded(spheres, spx, spy, spz,
                                            ex, ey, ez)
+                if use_chained:
+                    m_act = worth & jnp.logical_not(blocked)
+                    seg_list.append((spx, spy, spz, ex, ey, ez, m_act))
+                    pend.append((kr, kg, kb, m_act))
+                    continue
                 if fn_c is not None:
                     blocked = blocked | _sdf_occluded(
                         fn_c, prm, max_steps, eps_c, eps_l,
@@ -783,6 +803,15 @@ def _shadow_delta(cfg, consts, frame_u32, sets, lights, spheres, v,
                 rad_r = rad_r + kr * vis
                 rad_g = rad_g + kg * vis
                 rad_b = rad_b + kb * vis
+
+    if use_chained and seg_list:
+        occl = _chained_occl_core(fn_c, prm, max_steps, eps_c, eps_l,
+                                  bv_r, seg_list)
+        for (kr, kg, kb, m_act), occ in zip(pend, occl):
+            vis = (m_act & jnp.logical_not(occ)).astype(jnp.float32)
+            rad_r = rad_r + kr * vis
+            rad_g = rad_g + kg * vis
+            rad_b = rad_b + kb * vis
 
     return rad_r, rad_g, rad_b
 
@@ -1386,7 +1415,7 @@ def bounce_tail_fused(data, static, settings, tables, depth: int,
         (NL / L / VM) if (L and VM) else 0.0,
         bv_r,
         bool(s.mis), bool(s.compat_spec_reflect),
-        TL, TS,
+        TL, TS, bool(s.chained_shadow_march),
     )
     finish_cfg = (s.sampler, s.num_1d_sets,
                   (s.compat_spec_reflect, s.compat_spec_phi),
@@ -1589,7 +1618,7 @@ def shadow_radiance(data, static, settings, tables, depth: int,
         (NL / L / VM) if (L and VM) else 0.0,
         bv_r,
         bool(s.mis), bool(s.compat_spec_reflect),
-        TL, TS,
+        TL, TS, bool(s.chained_shadow_march),
     )
     set_ids = (
         [rng_mod.set1d_light_pick(s, depth, i) for i in range(L)]

@@ -310,7 +310,8 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
             jnp.concatenate(shadow_starts, axis=0),
             jnp.concatenate(shadow_ends, axis=0),
             jnp.tile(state.time, k),
-            jnp.concatenate(shadow_active, axis=0))
+            jnp.concatenate(shadow_active, axis=0),
+            segments=k)
         for j in range(k):
             vis = vis_all[j * n:(j + 1) * n]
             radiance = radiance + shadow_contrib[j] * vis[:, None]

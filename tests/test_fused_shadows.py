@@ -316,3 +316,54 @@ def test_fallback_warns_once(interpret_fused):
         assert not shade_pallas.fused_ok(
             RenderSettings(resolution=res, spp=1, rays_per_pass=256),
             mstatic, mdata, mstatic.sdf_program(mdata))
+
+
+def test_fused_chained_bit_identical_to_sequential(interpret_fused):
+    """chained_shadow_march reschedules the fused kernel's 12 shadow
+    marches (one chained loop instead of 12 sequential block-max loops)
+    without touching any segment's step sequence or the contribution
+    accumulation order — the whole PathState must be BIT-identical."""
+    n = 512
+    res = (32, 32)
+    base = RenderSettings(resolution=res, spp=4, max_marches=64,
+                          max_vis_marches=48, rays_per_pass=n,
+                          use_fused_shadows=True,
+                          chained_shadow_march=False)
+    data, static, camera = presets.default_scene(resolution=res)
+
+    seq = _run_bounces(base, data, static, camera, n, depths=(0, 1))
+    cha = _run_bounces(
+        dataclasses.replace(base, chained_shadow_march=True),
+        data, static, camera, n, depths=(0, 1))
+    for d, (a, b) in enumerate(zip(seq, cha)):
+        for field in ("radiance", "throughput", "origin", "direction",
+                      "alive", "pixel", "sample_idx"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(a, field)),
+                np.asarray(getattr(b, field)),
+                err_msg=f"{field} differs at depth {d}")
+
+
+def test_unfused_chained_segments_route_matches():
+    """The unfused batched occlusion call with segments=k (the
+    integrator's layout) must give bit-identical visibility whether the
+    chained route is taken or not. On CPU the Pallas route is gated
+    off, so drive march_occlusion_chained directly against the flat
+    jnp march on the same segment-major queue."""
+    import jax.numpy as jnp
+    from rayn_tpu.ops import march as march_ops
+    from rayn_tpu.ops import march_pallas, sdf as sdf_ops
+
+    prog = sdf_ops.mandelbox(6, 1.0, 0.01, 1.9, -2.1)
+    rng = np.random.default_rng(11)
+    k, nseg = 12, 300
+    start = jnp.asarray(rng.uniform(-3, 3, (k * nseg, 3)).astype(np.float32))
+    end = start + jnp.asarray(rng.normal(size=(k * nseg, 3)).astype(np.float32))
+    active = jnp.asarray(rng.uniform(size=k * nseg) < 0.6)
+    flat = np.asarray(march_ops.march_occlusion(
+        prog, start, end, 0.5, 48, active=active, bound_radius=3.6))
+    chained = np.asarray(march_pallas.march_occlusion_chained(
+        prog, start.reshape(k, nseg, 3), end.reshape(k, nseg, 3), 0.5,
+        48, active.reshape(k, nseg), interpret=True,
+        bound_radius=3.6)).reshape(-1)
+    np.testing.assert_array_equal(flat, chained)

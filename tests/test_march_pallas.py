@@ -141,3 +141,31 @@ class TestMarchPallasInterpret:
         t = np.asarray(t)
         assert abs(t[0] - 2.0) < 1e-2 and abs(t[2] - 2.0) < 1e-2
         assert t[1] > 50.0 and t[3] > 50.0
+
+    def test_chained_occlusion_bit_identical(self):
+        """K segments per ray chained through ONE while loop
+        (march_occlusion_chained) must reproduce the per-segment
+        march_occlusion verdicts exactly — the chain changes loop
+        scheduling, never a segment's step sequence — with and without
+        the bounding-volume clip, at odd K/N and with a step cap small
+        enough that some segments resolve by exhaustion."""
+        prog = sdf.mandelbox(6, 1.0, 0.01, 1.9, -2.1)
+        rng = np.random.default_rng(9)
+        for K, n, cap, bv in ((12, 1000, 100, 0.0), (12, 1000, 100, 3.6),
+                              (5, 517, 23, 3.6), (1, 200, 64, 0.0)):
+            start = jnp.asarray(
+                rng.uniform(-3.5, 3.5, (K, n, 3)).astype(np.float32))
+            end = start + jnp.asarray(
+                rng.normal(size=(K, n, 3)).astype(np.float32) * 2.0)
+            active = jnp.asarray(rng.uniform(size=(K, n)) < 0.5)
+            ref = np.stack([
+                np.asarray(march.march_occlusion(
+                    prog, start[k], end[k], 0.5, cap, active=active[k],
+                    bound_radius=bv))
+                for k in range(K)])
+            got = np.asarray(march_pallas.march_occlusion_chained(
+                prog, start, end, 0.5, cap, active, interpret=True,
+                bound_radius=bv))
+            np.testing.assert_array_equal(ref, got,
+                                          err_msg=f"K={K} n={n} cap={cap} "
+                                                  f"bv={bv}")

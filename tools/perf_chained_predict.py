@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Predict the win of CHAINING each ray's 12 shadow segments through one
+while loop, from real captured queues (no kernel work needed).
+
+The fused shadow pipeline (ops/shade_pallas._shadow_delta) marches the
+12 segments of a bounce (4 NEE + 2x4 equi-angular volume) as 12
+SEQUENTIAL while loops over the same block of rays; each loop runs until
+its worst lane resolves, so a block pays
+
+    cost_seq = sum_k  max_{ray in block} steps[k, ray].
+
+If instead each lane marched its OWN 12 segments back-to-back inside one
+while loop (advancing to its next segment as each resolves), the block
+would pay
+
+    cost_chain = max_{ray in block} sum_k steps[k, ray]
+
+which is smaller whenever per-ray straggler segments don't pile onto the
+same ray — exactly what the round-2 finding "89-100% of rows contain a
+straggler lane" suggests. This tool captures the real queues (same spy
+as tools/perf_occl_insitu.py), counts per-lane resolve steps with a
+step-counting twin of ops.march.march_occlusion, and reports both sums
+per bounce. Runs fine on CPU (JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS=).
+"""
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def occlusion_steps(sdf, start, end, detail_scale, max_steps,
+                    active=None, bound_radius=0.0):
+    """Per-lane resolve step count for ops.march.march_occlusion
+    (relax=1): the number of loop iterations until the lane is done
+    (hit or past-end/nan), i.e. the iterations it keeps the block alive."""
+    seg = end - start
+    max_dist = jnp.sqrt(jnp.sum(seg * seg, axis=-1))
+    d = seg / max_dist[:, None]
+
+    dist0 = sdf.dist(start)
+    nan_mask = jnp.isnan(dist0)
+    if active is not None:
+        nan_mask = jnp.where(active, nan_mask, True)
+
+    if bound_radius > 0.0:
+        b = jnp.sum(start * d, axis=-1)
+        c = jnp.sum(start * start, axis=-1) - bound_radius * bound_radius
+        disc = b * b - c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t_exit = -b + sq
+        bv_miss = (disc <= 0.0) | (t_exit <= 0.0)
+        nan_mask = nan_mask | bv_miss
+        max_dist = jnp.minimum(max_dist, t_exit)
+        dist0 = jnp.maximum(dist0, jnp.maximum(-b - sq, 0.0))
+
+    eps_c = 1e-4 * detail_scale
+    eps_l = 1e-5 * detail_scale
+
+    def body(_, state):
+        t, steps, resolved = state
+        gt_nan = (t > max_dist) | nan_mask
+        dist = sdf.dist(start + t[:, None] * d)
+        hit = jnp.abs(dist) < jnp.maximum(eps_c, eps_l * t)
+        done = hit | gt_nan
+        steps = jnp.where(resolved, steps, steps + 1)
+        resolved = resolved | done
+        t = jnp.where(done, t, t + dist)
+        return t, steps, resolved
+
+    # a lane done before its first loop-body DE (nan/bv-miss lanes enter
+    # with gt_nan true) still burns one iteration in the real kernel's
+    # body before `done` is observed; count it the same way here.
+    t, steps, _ = jax.lax.fori_loop(
+        0, max_steps, body,
+        (dist0, jnp.zeros_like(dist0, jnp.int32),
+         jnp.zeros_like(nan_mask)))
+    return steps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1 << 16)
+    ap.add_argument("--block", type=int, default=8192,
+                    help="lanes per Pallas block (64 rows x 128)")
+    args = ap.parse_args()
+
+    import os
+    import sys
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, root)
+    sys.path.insert(0, os.path.join(root, "tools"))
+    from perf_occl_insitu import capture_queues
+
+    queues, prog, settings = capture_queues(args.n)
+    from rayn_tpu.scene import presets
+    _, static, _ = presets.default_scene(resolution=(512, 512))
+    detail = settings.sdf_detail_scale
+    cap = settings.max_vis_marches
+    bv_r = static.sdf_bound_radius if settings.shadow_bv_clip else 0.0
+    print(f"captured {len(queues)} bounces, n={args.n}, "
+          f"cap={cap}, bv_r={bv_r}")
+
+    count = jax.jit(lambda s, e, a: occlusion_steps(
+        prog, s, e, detail, cap, active=a, bound_radius=bv_r))
+
+    B = args.block
+    tot_seq = tot_chain = tot_flat = 0
+    for bi, (start, end, active) in enumerate(queues):
+        kn = start.shape[0]
+        k = kn // args.n
+        steps = np.asarray(count(start, end, active))      # [k*n]
+        per_seg = steps.reshape(k, args.n)                  # [k, n]
+        nblk = (args.n + B - 1) // B
+        pad = nblk * B - args.n
+        if pad:
+            per_seg = np.pad(per_seg, ((0, 0), (0, pad)))
+        blocks = per_seg.reshape(k, nblk, B)                # [k, blk, B]
+        # current fused scheme: 12 sequential block-max loops
+        seq = blocks.max(axis=2).sum(axis=0).sum()
+        # chained scheme: one loop, block max of per-ray totals
+        chain = blocks.sum(axis=0).max(axis=1).sum()
+        # unfused flat batch (segment-major concat, same block size)
+        flat_steps = steps
+        fpad = (-len(flat_steps)) % B
+        if fpad:
+            flat_steps = np.pad(flat_steps, (0, fpad))
+        flat = flat_steps.reshape(-1, B).max(axis=1).sum()
+        act = np.asarray(active).reshape(k, args.n)
+        useful = per_seg[:, :args.n][act.astype(bool)].sum()
+        print(f"bounce {bi}: k={k} active={act.mean():.3f} "
+              f"seq={seq} chain={chain} ({seq/chain:.2f}x) "
+              f"flat={flat} useful={useful} "
+              f"(seq util {useful/(seq*B):.3f}, "
+              f"chain util {useful/(chain*B):.3f})")
+        tot_seq += seq
+        tot_chain += chain
+        tot_flat += flat
+
+    print(f"TOTAL block-steps: sequential={tot_seq} chained={tot_chain} "
+          f"flat={tot_flat}")
+    print(f"predicted chained speedup on the shadow-march loops: "
+          f"{tot_seq/tot_chain:.2f}x")
+
+
+if __name__ == "__main__":
+    main()

@@ -106,6 +106,34 @@ def main():
     ref = np.asarray(ref)
     print(f"pallas64:        {dt*1e3:8.2f} ms", flush=True)
 
+    # with the BV clip, as the production kernels run it
+    bv_r = 3.6
+    f = jax.jit(lambda s, e, a: march_pallas.march_occlusion(
+        prog, s, e, detail, steps, active=a, block_rows=64,
+        bound_radius=bv_r))
+    dt, ref_bv = timeit(f, start, end, active)
+    ref_bv = np.asarray(ref_bv)
+    print(f"pallas64+bv:     {dt*1e3:8.2f} ms", flush=True)
+
+    # chained: the queue is 12 segments/ray concatenated segment-major;
+    # chain each ray's 12 segments through one while loop
+    K = 12
+    n_lanes = start.shape[0]
+    if n_lanes % K == 0:
+        nseg = n_lanes // K
+        s3 = start.reshape(K, nseg, 3)
+        e3 = end.reshape(K, nseg, 3)
+        a2 = active.reshape(K, nseg)
+        for rows in (32, 64, 128):
+            f = jax.jit(lambda s, e, a, r=rows:
+                        march_pallas.march_occlusion_chained(
+                            prog, s, e, detail, steps, a, block_rows=r,
+                            bound_radius=bv_r))
+            dt, out = timeit(f, s3, e3, a2)
+            ok = np.array_equal(np.asarray(out).reshape(-1), ref_bv)
+            print(f"chained12 r={rows:<4d}{dt*1e3:8.2f} ms  match={ok}",
+                  flush=True)
+
     for s1 in args.sorted:
         f = jax.jit(lambda s, e, a, k=s1: march_pallas.march_occlusion_sorted(
             prog, s, e, detail, steps, active=a, phase1_steps=k,

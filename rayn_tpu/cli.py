@@ -103,6 +103,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="truncated-iteration DE for shadow marches "
                         "(0 = full; measured fidelity-NEGATIVE for the "
                         "MandelBox — see BASELINE.md before using)")
+    p.add_argument("--no-chained-shadow", action="store_true",
+                   help="march each shadow segment in its own loop "
+                        "instead of chaining a ray's segments through "
+                        "one (bit-identical either way; chained is the "
+                        "faster default — see chained_shadow_march)")
     return p
 
 
@@ -137,7 +142,8 @@ def main(argv=None) -> int:
         use_pallas=not args.no_pallas, mis=args.mis,
         march_relaxation=args.relax,
         shadow_bv_clip=not args.no_shadow_bv_clip,
-        shadow_de_iterations=args.shadow_de_iterations)
+        shadow_de_iterations=args.shadow_de_iterations,
+        chained_shadow_march=not args.no_chained_shadow)
 
     if args.scene == "fractal":
         data, static, camera = presets.default_scene(

@@ -1,0 +1,45 @@
+#!/usr/bin/env python
+"""A/B the chained shadow march end-to-end on the live chip.
+
+Times one full render_pass of the fractal benchmark with
+chained_shadow_march off vs on (fused bounce-tail mega-kernel path,
+production defaults otherwise), at 512x512 and at the official 1080p
+shape. Predicted from captured queues: 1.58-1.73x fewer shadow-march
+block iterations (tools/perf_chained_predict.py), ~25% one-hot refresh
+overhead => expected ~1.2-1.4x end-to-end on the march-bound fractal.
+"""
+
+import dataclasses
+import os
+import sys
+
+import jax
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("RAYN_JAX_CACHE", "/tmp/rayn_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    from perf_pass import time_pass
+    from rayn_tpu.config import RenderSettings
+    from rayn_tpu.scene import presets
+
+    print(f"device={jax.devices()[0].device_kind}", flush=True)
+    for res, n in (((512, 512), 1 << 20), ((1920, 1080), 1 << 20)):
+        base = RenderSettings(resolution=res, spp=128, rays_per_pass=n)
+        data, static, camera = presets.default_scene(resolution=res)
+        label = f"{res[0]}x{res[1]}"
+        time_pass(f"{label} sequential (chained off)",
+                  dataclasses.replace(base, chained_shadow_march=False),
+                  data, static, camera)
+        time_pass(f"{label} chained",
+                  dataclasses.replace(base, chained_shadow_march=True),
+                  data, static, camera)
+
+
+if __name__ == "__main__":
+    main()

@@ -105,8 +105,31 @@ def main():
     count = jax.jit(lambda s, e, a: occlusion_steps(
         prog, s, e, detail, cap, active=a, bound_radius=bv_r))
 
+    def seg_setup(start, end, active):
+        """Per-segment (t0, md, entry_resolved) as the chained core
+        computes them — everything here is available BEFORE marching."""
+        seg = end - start
+        md = jnp.sqrt(jnp.sum(seg * seg, axis=-1))
+        d = seg / md[:, None]
+        dist0 = prog.dist(start)
+        nan = jnp.isnan(dist0) | jnp.logical_not(active)
+        t0 = dist0
+        if bv_r > 0.0:
+            b = jnp.sum(start * d, axis=-1)
+            c = jnp.sum(start * start, axis=-1) - bv_r * bv_r
+            disc = b * b - c
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t_exit = -b + sq
+            nan = nan | (disc <= 0.0) | (t_exit <= 0.0)
+            md = jnp.minimum(md, t_exit)
+            t0 = jnp.maximum(dist0, jnp.maximum(-b - sq, 0.0))
+        return t0, md, nan
+
+    setup = jax.jit(seg_setup)
+
     B = args.block
     tot_seq = tot_chain = tot_flat = 0
+    prev_totals = None
     for bi, (start, end, active) in enumerate(queues):
         kn = start.shape[0]
         k = kn // args.n
@@ -129,11 +152,72 @@ def main():
         flat = flat_steps.reshape(-1, B).max(axis=1).sum()
         act = np.asarray(active).reshape(k, args.n)
         useful = per_seg[:, :args.n][act.astype(bool)].sum()
-        print(f"bounce {bi}: k={k} active={act.mean():.3f} "
-              f"seq={seq} chain={chain} ({seq/chain:.2f}x) "
-              f"flat={flat} useful={useful} "
-              f"(seq util {useful/(seq*B):.3f}, "
-              f"chain util {useful/(chain*B):.3f})")
+        # headroom of SORTING rays before chaining: totals concentrate
+        # (sums of 12), so ray ordering may pack blocks by cost where
+        # per-segment sorting failed. Oracle = sort by the true per-ray
+        # total; practical predictor = the SAME ray's total at the
+        # previous bounce (the wavefront is uncompacted, so lane i is
+        # the same path at every bounce).
+        totals = per_seg.sum(axis=0)                        # [n+pad]
+        osort = np.sort(totals)[::-1]
+        oracle = osort.reshape(nblk, B).max(axis=1).sum()
+        line = (f"bounce {bi}: k={k} active={act.mean():.3f} "
+                f"seq={seq} chain={chain} ({seq/chain:.2f}x) "
+                f"oracle-sorted={oracle} ({chain/max(oracle,1):.2f}x "
+                f"more) flat={flat} useful={useful} "
+                f"(seq util {useful/(seq*B):.3f}, "
+                f"chain util {useful/(chain*B):.3f})")
+        if prev_totals is not None:
+            order = np.argsort(-prev_totals, kind="stable")
+            psort = totals[order]
+            prev_pred = psort.reshape(nblk, B).max(axis=1).sum()
+            line += (f" prev-bounce-sorted={prev_pred} "
+                     f"({chain/max(prev_pred,1):.2f}x more)")
+        prev_totals = totals
+        print(line)
+
+        # --- practical same-bounce sort keys (computable pre-march) ---
+        t0, md, nan = (np.asarray(x) for x in setup(start, end, active))
+        t0 = t0.reshape(k, args.n)
+        md = md.reshape(k, args.n)
+        nan = nan.reshape(k, args.n)
+        # steps-if-DE-stayed-constant, per segment, capped at the
+        # per-segment budget; entry-resolved segments cost 1
+        est = np.minimum(md / np.maximum(t0, 1e-6), cap)
+        est = np.where(nan | (t0 > md), 1.0, est)
+        live_t0 = np.where(nan, np.inf, t0)
+        for name, key in (("md/t0", est.sum(axis=0)),
+                          ("min-t0", -live_t0.min(axis=0)),
+                          # per-ray keys computable OUTSIDE the fused
+                          # kernel: the NEE segments all start at the
+                          # surface point p, so seg-0's clipped DE is
+                          # ~one extra DE eval per ray
+                          ("nee-t0", -live_t0[0]),
+                          ("nee-est", est[:4].sum(axis=0))):
+            key = np.pad(key, (0, pad)) if pad else key
+            order = np.argsort(-key, kind="stable")
+            cost = totals[order].reshape(nblk, B).max(axis=1).sum()
+            line2 = (f"  sortkey {name}: {cost} "
+                     f"({chain/max(cost,1):.2f}x over chain; oracle "
+                     f"{oracle})")
+            print(line2)
+        # phase-1 predictor: chain with per-segment cap C, sort the
+        # unresolved rays by their capped totals, finish from scratch
+        # with resolved segments masked off (1 iteration each)
+        for C in (8, 16):
+            capped = np.minimum(per_seg, C)
+            p1_lane = capped.sum(axis=0)                 # phase-1 cost
+            p1 = p1_lane.reshape(nblk, B).max(axis=1).sum()
+            unres = (per_seg > C) | (per_seg >= cap)     # not surely done
+            any_un = unres.any(axis=0)
+            p2_lane = np.where(any_un,
+                               np.where(unres, per_seg, 1).sum(axis=0), 0)
+            order = np.argsort(-(p1_lane + 1000000 * any_un),
+                               kind="stable")
+            p2 = p2_lane[order].reshape(nblk, B).max(axis=1).sum()
+            print(f"  phase1 C={C}: p1={p1} p2={p2} total={p1 + p2} "
+                  f"({chain/max(p1 + p2, 1):.2f}x over chain, "
+                  f"unresolved rays {any_un.mean():.3f})")
         tot_seq += seq
         tot_chain += chain
         tot_flat += flat

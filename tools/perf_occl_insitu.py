@@ -37,9 +37,10 @@ def capture_queues(n):
     captured = []
     real = intersect.test_occluded
 
-    def spy(data_, static_, settings_, start, end, time_, active):
+    def spy(data_, static_, settings_, start, end, time_, active, **kw):
         captured.append((start, end, active))
-        return real(data_, static_, settings_, start, end, time_, active)
+        return real(data_, static_, settings_, start, end, time_, active,
+                    **kw)
 
     intersect.test_occluded = spy
     try:

@@ -150,6 +150,20 @@ class RenderSettings:
     # the unfused batched occlusion call.
     chained_shadow_march: bool = True
 
+    # Payload-sort the wavefront by a per-ray chained-march cost key
+    # before the fused bounce tail at depths >= 1 (and unsort after).
+    # The key (shade_pallas.shadow_sort_key) prices each ray's 12
+    # shadow segments at length / first-DE-step — ~1% of the march it
+    # schedules — and the sort packs expensive rays into the same
+    # Pallas blocks, cutting the chained march's block iterations a
+    # modeled further 1.5-2.2x at bounces >= 1
+    # (tools/perf_chained_predict.py, sortkey md/t0). Per-ray results
+    # are bit-identical: sorting changes block membership only, and the
+    # bounce output is unsorted back to pixel-major order before the
+    # film splat. Costs ~40 payload columns of XLA sort + the key
+    # kernel per bounce. Off until measured on hardware.
+    sorted_shadow_march: bool = False
+
     # Two-phase occlusion march: phase 1 marches the whole shadow queue
     # this many steps, then the unresolved stragglers are stable-
     # partitioned to the front and finished densely (all-resolved tail

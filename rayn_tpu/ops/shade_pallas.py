@@ -816,6 +816,96 @@ def _shadow_delta(cfg, consts, frame_u32, sets, lights, spheres, v,
     return rad_r, rad_g, rad_b
 
 
+def _segment_cost(fn_c, prm, max_steps, bv_r, sx, sy, sz, ex, ey, ez, act):
+    """Pre-march estimate of a shadow segment's step count: segment
+    length over the first DE step (exact if the DE stayed constant),
+    capped at the step budget; entry-resolved/inactive segments cost the
+    1 chain iteration they take. Shares the clip arithmetic with
+    _chained_occl_core so the estimate sees the same effective segment."""
+    seg_x, seg_y, seg_z = ex - sx, ey - sy, ez - sz
+    md = jnp.sqrt(seg_x * seg_x + seg_y * seg_y + seg_z * seg_z)
+    inv = 1.0 / md
+    dx, dy, dz = seg_x * inv, seg_y * inv, seg_z * inv
+    dist0 = fn_c(prm, sx, sy, sz)
+    nan = jnp.isnan(dist0) | jnp.logical_not(act)
+    t0 = dist0
+    if bv_r > 0.0:
+        b = sx * dx + sy * dy + sz * dz
+        c = sx * sx + sy * sy + sz * sz - bv_r * bv_r
+        disc = b * b - c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t_exit = -b + sq
+        nan = nan | (disc <= 0.0) | (t_exit <= 0.0)
+        md = jnp.minimum(md, t_exit)
+        t0 = jnp.maximum(dist0, jnp.maximum(-b - sq, 0.0))
+    est = jnp.minimum(md / jnp.maximum(t0, 1e-6), float(max_steps))
+    return jnp.where(nan | (t0 > md), 1.0, est)
+
+
+def _shadow_cost_key(cfg, consts, frame_u32, sets, lights, v, vd):
+    """Per-ray estimate of the CHAINED shadow march's iteration count:
+    the sum of _segment_cost over the bounce's L NEE + VM*L volume
+    segments, rebuilt with the same sampler streams / cone samples as
+    _shadow_delta (so the key prices the segments the kernel will
+    actually march). Activity is approximated as receives & (n.wi > 0)
+    for NEE and alive for volume (no BSDF eval / sphere test — the key
+    is a scheduling heuristic, never a verdict). Modeled on captured
+    queues: sorting rays by this key recovers 1.5-2.2x block iterations
+    over unsorted chaining at bounces >= 1
+    (tools/perf_chained_predict.py, sortkey md/t0)."""
+    (fn_c, _treedef, _n_leaves, sampler, num_1d_sets, L, VM, NL, K,
+     has_ext, has_scat, eps_c, eps_l, max_steps,
+     correction, vm_correction, bv_r, mis, compat_reflect,
+     _TL, _TS, _chained) = cfg
+    prm = consts[0]
+    set_pick, set_nee, set_vol_pick, set_vol = sets
+    (p_x, p_y, p_z) = v["p"]
+    (n_x, n_y, n_z) = v["n"]
+    off = v["off"]
+    (o_x, o_y, o_z) = v["o"]
+    (d_x, d_y, d_z) = v["d"]
+    sidx, pix = v["sidx"], v["pix"]
+    alive, receives = v["alive"], v["recv"]
+
+    key = jnp.zeros_like(p_x)
+    for i in range(L):
+        u_pick = _sample_1d(sampler, frame_u32, set_pick[i], sidx, pix)
+        lx, ly, lz, lrad, _er, _eg, _eb, _lp = _pick_light(u_pick, lights)
+        u1, u2 = _sample_2d(sampler, num_1d_sets, frame_u32, set_nee[i],
+                            sidx, pix)
+        ex, ey, ez, _pdf = _sample_cone(u1, u2, lx, ly, lz, lrad,
+                                        p_x, p_y, p_z)
+        wfx, wfy, wfz = ex - p_x, ey - p_y, ez - p_z
+        dist = jnp.sqrt(wfx * wfx + wfy * wfy + wfz * wfz)
+        dinv = 1.0 / dist
+        ndw = n_x * wfx * dinv + n_y * wfy * dinv + n_z * wfz * dinv
+        bias = jnp.where(jnp.signbit(ndw), -off, off)
+        sx = p_x + n_x * bias
+        sy = p_y + n_y * bias
+        sz = p_z + n_z * bias
+        act = receives & (ndw > 0.0)
+        key = key + _segment_cost(fn_c, prm, max_steps, bv_r,
+                                  sx, sy, sz, ex, ey, ez, act)
+    if has_scat and VM:
+        for m in range(VM):
+            for i in range(L):
+                u_pick = _sample_1d(sampler, frame_u32,
+                                    set_vol_pick[m][i], sidx, pix)
+                (lx, ly, lz, lrad, _er, _eg, _eb,
+                 _lp) = _pick_light(u_pick, lights)
+                spx = o_x + vd[m][i] * d_x
+                spy = o_y + vd[m][i] * d_y
+                spz = o_z + vd[m][i] * d_z
+                u1, u2 = _sample_2d(sampler, num_1d_sets, frame_u32,
+                                    set_vol[m][i], sidx, pix)
+                ex, ey, ez, _pdf = _sample_cone(
+                    u1, u2, lx, ly, lz, lrad, spx, spy, spz)
+                key = key + _segment_cost(fn_c, prm, max_steps, bv_r,
+                                          spx, spy, spz, ex, ey, ez,
+                                          alive)
+    return key
+
+
 def _finish_tail(cfg, scalars, mis_read, v, rad_in):
     """Steps 2 + 5-7 of a bounce (emission incl. MIS weight, scatter,
     roulette, AOVs, termination) on loaded values `v`; mirrors
@@ -1042,6 +1132,74 @@ def _shadow_kernel(cfg, const_ref, frame_ref,
     out_r[:] = rad_r
     out_g[:] = rad_g
     out_b[:] = rad_b
+
+
+def _shadow_const_vector(data, static, params, n_leaves, NL, K):
+    """SMEM shadow const vector (layout read by _unpack_shadow_const):
+    SDF leaves, per-light (TL*3 pos knots, radius, emission rgb, paired
+    flag), per-sphere (TS*3 center knots, radius), (sigma_t, sigma_s),
+    channel time ranges. The kernel indexes lights at offset n_leaves,
+    so the zero-leaf dummy _flatten_params returns for an empty pytree
+    must NOT be included (n_leaves == 0 there).
+    Returns (flat f32 vector, TL, TS)."""
+    TL = int(data.light_pos.values.shape[1]) if NL else 1
+    TS = int(data.sphere_centers.values.shape[1]) if K else 1
+    pieces = [params.reshape(-1)] if n_leaves else []
+    if NL:
+        pieces.append(jnp.concatenate([
+            data.light_pos.values.reshape(NL, 3 * TL),  # all pos knots
+            data.light_radii[:, None],             # [NL, 1]
+            data.light_emission,                   # [NL, 3]
+            data.light_paired[:, None],            # [NL, 1] (MIS)
+        ], axis=-1).reshape(-1))
+    if K:
+        pieces.append(jnp.concatenate([
+            data.sphere_centers.values.reshape(K, 3 * TS),
+            data.sphere_radii[:, None],            # [K, 1]
+        ], axis=-1).reshape(-1))
+    sig_t = (data.volume_sigma_t if static.has_extinction
+             else jnp.float32(0.0))
+    sig_s = (data.volume_sigma_s if static.has_scattering
+             else jnp.float32(0.0))
+    pieces.append(jnp.stack([jnp.asarray(sig_t, jnp.float32),
+                             jnp.asarray(sig_s, jnp.float32)]))
+    # channel time ranges (lt0, lt1, st0, st1) for in-kernel knot lerp
+    pieces.append(jnp.stack([
+        jnp.asarray(data.light_pos.t0 if NL else 0.0, jnp.float32),
+        jnp.asarray(data.light_pos.t1 if NL else 1.0, jnp.float32),
+        jnp.asarray(data.sphere_centers.t0 if K else 0.0, jnp.float32),
+        jnp.asarray(data.sphere_centers.t1 if K else 1.0, jnp.float32)]))
+    return jnp.concatenate(pieces), TL, TS
+
+
+def _shadow_key_kernel(cfg, const_ref, frame_ref,
+                       px, py, pz, nx, ny, nz, offs,
+                       ox, oy, oz, dx, dy, dz,
+                       sample_idx, pixel, live, recv, time_r,
+                       *vol_args):
+    """Per-ray chained-march cost key (body: _shadow_cost_key).
+    vol_args: VM*L vol_dist refs (march-major) followed by the key
+    output ref."""
+    L, VM = cfg[5], cfg[6]
+    consts = _unpack_shadow_const(cfg, const_ref)
+    frame_u32, set_pick, set_nee, set_vol_pick, set_vol = \
+        _unpack_shadow_sets(cfg, frame_ref)
+    d_x, d_y, d_z = dx[:], dy[:], dz[:]
+    tm = time_r[:]
+    v = dict(
+        p=(px[:], py[:], pz[:]), n=(nx[:], ny[:], nz[:]), off=offs[:],
+        o=(ox[:], oy[:], oz[:]), d=(d_x, d_y, d_z),
+        sidx=sample_idx[:].astype(jnp.uint32),
+        pix=pixel[:].astype(jnp.uint32),
+        alive=live[:] != 0, recv=recv[:] != 0,
+    )
+    lights, _spheres = _scene_at_time(cfg, consts, tm)
+    n_vol = VM * L
+    out = vol_args[n_vol]
+    vd = [[vol_args[m * L + i][:] for i in range(L)] for m in range(VM)]
+    out[:] = _shadow_cost_key(
+        cfg, consts, frame_u32,
+        (set_pick, set_nee, set_vol_pick, set_vol), lights, v, vd)
 
 
 def _finish_kernel(cfg, flags_ref, mis_ref,
@@ -1355,32 +1513,8 @@ def bounce_tail_fused(data, static, settings, tables, depth: int,
 
     params, treedef, n_leaves = _flatten_params(
         prog.params if prog is not None else {})
-    TL = int(data.light_pos.values.shape[1]) if NL else 1
-    TS = int(data.sphere_centers.values.shape[1]) if K else 1
-    pieces = [params.reshape(-1)] if n_leaves else []
-    pieces.append(jnp.concatenate([
-        data.light_pos.values.reshape(NL, 3 * TL),
-        data.light_radii[:, None],
-        data.light_emission,
-        data.light_paired[:, None],
-    ], axis=-1).reshape(-1))
-    if K:
-        pieces.append(jnp.concatenate([
-            data.sphere_centers.values.reshape(K, 3 * TS),
-            data.sphere_radii[:, None],
-        ], axis=-1).reshape(-1))
-    sig_t = (data.volume_sigma_t if static.has_extinction
-             else jnp.float32(0.0))
-    sig_s = (data.volume_sigma_s if static.has_scattering
-             else jnp.float32(0.0))
-    pieces.append(jnp.stack([jnp.asarray(sig_t, jnp.float32),
-                             jnp.asarray(sig_s, jnp.float32)]))
-    pieces.append(jnp.stack([
-        jnp.asarray(data.light_pos.t0, jnp.float32),
-        jnp.asarray(data.light_pos.t1, jnp.float32),
-        jnp.asarray(data.sphere_centers.t0 if K else 0.0, jnp.float32),
-        jnp.asarray(data.sphere_centers.t1 if K else 1.0, jnp.float32)]))
-    shadow_const = jnp.concatenate(pieces)
+    shadow_const, TL, TS = _shadow_const_vector(data, static, params,
+                                                n_leaves, NL, K)
     n_shadow_const = int(shadow_const.shape[0])
 
     mis = bool(s.mis) and K > 0 and NL > 0
@@ -1566,39 +1700,9 @@ def shadow_radiance(data, static, settings, tables, depth: int,
 
     params, treedef, n_leaves = _flatten_params(
         prog.params if prog is not None else {})
-    # scene-constant SMEM vector: sdf leaves, per-light (pos, rad, em),
-    # per-sphere (center, rad), sigma_t, sigma_s — all traced values.
-    # The kernel indexes lights at offset n_leaves, so the zero-leaf
-    # dummy _flatten_params returns for an empty pytree must NOT be
-    # included (n_leaves == 0 there).
-    TL = int(data.light_pos.values.shape[1]) if NL else 1
-    TS = int(data.sphere_centers.values.shape[1]) if K else 1
-    pieces = [params.reshape(-1)] if n_leaves else []
-    if NL:
-        pieces.append(jnp.concatenate([
-            data.light_pos.values.reshape(NL, 3 * TL),  # all pos knots
-            data.light_radii[:, None],             # [NL, 1]
-            data.light_emission,                   # [NL, 3]
-            data.light_paired[:, None],            # [NL, 1] (MIS)
-        ], axis=-1).reshape(-1))
-    if K:
-        pieces.append(jnp.concatenate([
-            data.sphere_centers.values.reshape(K, 3 * TS),
-            data.sphere_radii[:, None],            # [K, 1]
-        ], axis=-1).reshape(-1))
-    sig_t = (data.volume_sigma_t if static.has_extinction
-             else jnp.float32(0.0))
-    sig_s = (data.volume_sigma_s if static.has_scattering
-             else jnp.float32(0.0))
-    pieces.append(jnp.stack([jnp.asarray(sig_t, jnp.float32),
-                             jnp.asarray(sig_s, jnp.float32)]))
-    # channel time ranges (lt0, lt1, st0, st1) for in-kernel knot lerp
-    pieces.append(jnp.stack([
-        jnp.asarray(data.light_pos.t0 if NL else 0.0, jnp.float32),
-        jnp.asarray(data.light_pos.t1 if NL else 1.0, jnp.float32),
-        jnp.asarray(data.sphere_centers.t0 if K else 0.0, jnp.float32),
-        jnp.asarray(data.sphere_centers.t1 if K else 1.0, jnp.float32)]))
-    const = jnp.concatenate(pieces).reshape(1, -1)
+    const, TL, TS = _shadow_const_vector(data, static, params, n_leaves,
+                                         NL, K)
+    const = const.reshape(1, -1)
     n_const = const.shape[1]
 
     # Shadow-march cost reduction (BASELINE.md round-3 study): truncated
@@ -1677,3 +1781,100 @@ def shadow_radiance(data, static, settings, tables, depth: int,
     )(const, frame, *args)
     return jnp.stack([out_r.reshape(-1)[:n], out_g.reshape(-1)[:n],
                       out_b.reshape(-1)[:n]], axis=-1)
+
+
+def shadow_sort_key(data, static, settings, tables, depth: int,
+                    point, normal, offset_by, origin, direction,
+                    live, receives, sample_idx, pixel, time, vol_dists,
+                    block_rows: int = 64, interpret: bool = False):
+    """[N] f32 per-ray cost key for sorting the wavefront before the
+    fused bounce tail (body: _shadow_cost_key). Rebuilds the bounce's
+    shadow segments with the exact sampler streams the shadow kernel
+    will use and prices each at segment-length / first-DE-step — ~12
+    DE evaluations per ray, ~1% of the march it schedules. Pure
+    scheduling data: the key never feeds a verdict or a radiance term,
+    so any approximation here is performance-only."""
+    s = settings
+    prog = static.sdf_program(data) if static.has_sdf else None
+    n = point.shape[0]
+    block_rows = max(block_rows, 8)
+    block = block_rows * LANES
+    n_pad = -(-n // block) * block
+    rows = n_pad // LANES
+
+    NL = int(static.n_lights)
+    K = int(static.n_spheres)
+    L = s.nee_light_samples if NL > 0 else 0
+    VM = s.volume_marches if (static.has_scattering and NL > 0) else 0
+
+    params, treedef, n_leaves = _flatten_params(
+        prog.params if prog is not None else {})
+    const, TL, TS = _shadow_const_vector(data, static, params, n_leaves,
+                                         NL, K)
+    const = const.reshape(1, -1)
+    n_const = const.shape[1]
+
+    shadow_prog = (prog.reduced(s.shadow_de_iterations)
+                   if prog is not None else None)
+    detail = s.sdf_detail_scale * s.shadow_eps_scale
+    bv_r = float(static.sdf_bound_radius) if s.shadow_bv_clip else 0.0
+    cfg = (
+        shadow_prog.fn_c if shadow_prog is not None else None,
+        treedef, n_leaves, s.sampler, s.num_1d_sets,
+        L, VM, NL, K,
+        static.has_extinction, static.has_scattering,
+        1e-4 * detail, 1e-5 * detail, s.max_vis_marches,
+        (NL / L) if L else 0.0,
+        (NL / L / VM) if (L and VM) else 0.0,
+        bv_r,
+        bool(s.mis), bool(s.compat_spec_reflect),
+        TL, TS, bool(s.chained_shadow_march),
+    )
+    set_ids = (
+        [rng_mod.set1d_light_pick(s, depth, i) for i in range(L)]
+        + [rng_mod.set2d_nee(s, depth, i) for i in range(L)]
+        + [rng_mod.set1d_vol_pick(s, depth, m, i)
+           for m in range(VM) for i in range(L)]
+        + [rng_mod.set2d_vol(s, depth, m, i)
+           for m in range(VM) for i in range(L)])
+
+    args = [
+        _to_rows(point[:, 0], rows), _to_rows(point[:, 1], rows),
+        _to_rows(point[:, 2], rows),
+        _to_rows(normal[:, 0], rows), _to_rows(normal[:, 1], rows),
+        _to_rows(normal[:, 2], rows),
+        _to_rows(offset_by, rows),
+        _to_rows(origin[:, 0], rows), _to_rows(origin[:, 1], rows),
+        _to_rows(origin[:, 2], rows),
+        _to_rows(direction[:, 0], rows), _to_rows(direction[:, 1], rows),
+        _to_rows(direction[:, 2], rows),
+        _to_rows(sample_idx, rows), _to_rows(pixel, rows),
+        _to_rows(live.astype(jnp.int32), rows),
+        _to_rows(receives.astype(jnp.int32), rows),
+        _to_rows(time, rows),
+    ]
+    for m in range(VM):
+        for i in range(L):
+            args.append(_to_rows(vol_dists[m][i], rows))
+
+    grid = rows // block_rows
+    vspec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec((1, n_const), lambda i: (0, 0),
+                        memory_space=pltpu.SMEM)
+    smem_i = pl.BlockSpec((1, 1 + len(set_ids)), lambda i: (0, 0),
+                          memory_space=pltpu.SMEM)
+    frame = jnp.concatenate([
+        tables.frame.astype(jnp.int32).reshape(1),
+        jnp.asarray(set_ids, jnp.int32),
+    ]).reshape(1, -1)
+
+    kernel = functools.partial(_shadow_key_kernel, cfg)
+    out = pl.pallas_call(
+        kernel, grid=(grid,),
+        in_specs=[smem, smem_i] + [vspec] * (18 + VM * L),
+        out_specs=vspec,
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+        interpret=interpret or INTERPRET,
+    )(const, frame, *args)
+    return out.reshape(-1)[:n]

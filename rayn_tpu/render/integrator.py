@@ -77,6 +77,72 @@ def init_state(origin, direction, time, pixel, sample_idx, alive) -> PathState:
         alpha_out=jnp.zeros((n,), jnp.float32), normal_out=z3)
 
 
+def _state_cols(state: PathState):
+    """PathState as a flat list of 27 [N] columns (lax.sort payload
+    form; bool rides as int32)."""
+    return [
+        state.origin[:, 0], state.origin[:, 1], state.origin[:, 2],
+        state.direction[:, 0], state.direction[:, 1],
+        state.direction[:, 2],
+        state.time,
+        state.radiance[:, 0], state.radiance[:, 1], state.radiance[:, 2],
+        state.throughput[:, 0], state.throughput[:, 1],
+        state.throughput[:, 2],
+        state.pixel, state.sample_idx,
+        state.alive.astype(jnp.int32), state.prev_pdf,
+        state.color_out[:, 0], state.color_out[:, 1],
+        state.color_out[:, 2],
+        state.bg_out[:, 0], state.bg_out[:, 1], state.bg_out[:, 2],
+        state.alpha_out,
+        state.normal_out[:, 0], state.normal_out[:, 1],
+        state.normal_out[:, 2],
+    ]
+
+
+def _state_from_cols(c) -> PathState:
+    def v3(i):
+        return jnp.stack([c[i], c[i + 1], c[i + 2]], axis=-1)
+
+    return PathState(
+        origin=v3(0), direction=v3(3), time=c[6], radiance=v3(7),
+        throughput=v3(10), pixel=c[13], sample_idx=c[14],
+        alive=c[15] != 0, prev_pdf=c[16], color_out=v3(17),
+        bg_out=v3(20), alpha_out=c[23], normal_out=v3(24))
+
+
+def _sort_by_cost(state: PathState, hit, info, key):
+    """Payload-sort the whole per-ray bounce state by DESCENDING cost
+    key (one variadic XLA sort, 41 columns — per-lane gathers would be
+    ~20x slower at this width). Sorting changes only which Pallas block
+    a ray lands in; every per-lane output is position-independent, and
+    `_unsort_state` restores the exact original order before the film
+    splat, so results are bit-identical to the unsorted path."""
+    n = key.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    ops = jax.lax.sort(
+        [-key, iota] + _state_cols(state)
+        + [hit.t, hit.obj, hit.valid.astype(jnp.int32),
+           info.point[:, 0], info.point[:, 1], info.point[:, 2],
+           info.normal[:, 0], info.normal[:, 1], info.normal[:, 2],
+           info.offset_by, info.mat],
+        num_keys=1)
+    state = _state_from_cols(ops[2:29])
+    hit = intersect.Hit(ops[29], ops[30], ops[31] != 0)
+    info = intersect.ShadingInfo(
+        point=jnp.stack(ops[32:35], axis=-1),
+        normal=jnp.stack(ops[35:38], axis=-1),
+        offset_by=ops[38], mat=ops[39])
+    return state, hit, info, ops[1]
+
+
+def _unsort_state(state: PathState, iota_sorted) -> PathState:
+    """Invert `_sort_by_cost`'s permutation on a bounce's output state
+    (iota_sorted is a permutation of arange(n); sorting by it restores
+    original lane order)."""
+    ops = jax.lax.sort([iota_sorted] + _state_cols(state), num_keys=1)
+    return _state_from_cols(ops[1:])
+
+
 def _pick_lights(settings: RenderSettings, static: SceneStatic, u: jnp.ndarray):
     idx = jnp.floor(u * static.n_lights).astype(jnp.int32)
     return jnp.clip(idx, 0, static.n_lights - 1)
@@ -145,14 +211,43 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
     _prog_probe = static.sdf_program(data) if static.has_sdf else None
     if (s.use_fused_finish
             and shade_pallas.fused_ok(s, static, data, _prog_probe)):
+        # Cost-sorted scheduling: pack rays with expensive shadow
+        # chains into the same Pallas blocks (bit-identical per lane;
+        # unsorted back before returning — see _sort_by_cost).
+        sort_on = (s.sorted_shadow_march and s.chained_shadow_march
+                   and depth > 0 and static.has_sdf
+                   and static.n_lights > 0)
+        unsort_iota = None
+        if sort_on:
+            vd0, _ = _equi_angular_samples(data, static, s, tables,
+                                           state, hit, depth)
+            cost = shade_pallas.shadow_sort_key(
+                data, static, s, tables, depth,
+                info.point, info.normal, info.offset_by,
+                state.origin, state.direction, live, receives,
+                state.sample_idx, state.pixel, state.time, vd0,
+                block_rows=s.pallas_occl_block_rows)
+            state, hit, info, unsort_iota = _sort_by_cost(
+                state, hit, info, cost)
+            # re-derive the per-lane values computed above in the new
+            # order (elementwise/one-hot — bit-identical per lane)
+            live = state.alive & hit.valid
+            mat = bsdf_ops.gather(data.materials, info.mat)
+            receives = bsdf_ops.receives_light(mat) & live
+            wo = -state.direction
+            if static.has_extinction:
+                vol_trans = jnp.exp(-data.volume_sigma_t * hit.t)
+            else:
+                vol_trans = jnp.ones((n,), jnp.float32)
         if s.use_fused_bounce_tail and static.n_lights > 0:
             # whole-tail mega-kernel: shadow + finish in one launch
-            return shade_pallas.bounce_tail_fused(
+            out = shade_pallas.bounce_tail_fused(
                 data, static, s, tables, depth, state, hit, info, mat,
                 live, receives,
                 *_equi_angular_samples(data, static, s, tables, state,
                                        hit, depth),
                 block_rows=s.pallas_occl_block_rows)
+            return _unsort_state(out, unsort_iota) if sort_on else out
         rad = state.radiance
         if static.n_lights > 0:
             rad = rad + shade_pallas.shadow_radiance(
@@ -164,9 +259,10 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
                 *_equi_angular_samples(data, static, s, tables, state,
                                        hit, depth),
                 block_rows=s.pallas_occl_block_rows)
-        return shade_pallas.finish_bounce_fused(
+        out = shade_pallas.finish_bounce_fused(
             data, static, s, tables, depth, state, hit, info, mat,
             live, receives, rad, block_rows=s.pallas_occl_block_rows)
+        return _unsort_state(out, unsort_iota) if sort_on else out
 
     # 2. emission. With MIS, BSDF-hit emission of an emissive sphere
     # paired with a sphere light is power-heuristic weighted against the

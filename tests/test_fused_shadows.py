@@ -367,3 +367,78 @@ def test_unfused_chained_segments_route_matches():
         48, active.reshape(k, nseg), interpret=True,
         bound_radius=3.6)).reshape(-1)
     np.testing.assert_array_equal(flat, chained)
+
+
+def test_sorted_shadow_march_bit_identical(interpret_fused):
+    """sorted_shadow_march payload-sorts the wavefront by the cost key
+    before the fused bounce tail and unsorts after — block membership
+    is the only thing that changes, so the whole PathState must be
+    BIT-identical, at every depth, for both fused paths."""
+    n = 512
+    res = (32, 32)
+    for tail in (True, False):
+        base = RenderSettings(resolution=res, spp=4, max_marches=64,
+                              max_vis_marches=48, rays_per_pass=n,
+                              use_fused_shadows=True,
+                              use_fused_bounce_tail=tail,
+                              sorted_shadow_march=False)
+        data, static, camera = presets.default_scene(resolution=res)
+        plain = _run_bounces(base, data, static, camera, n,
+                             depths=(0, 1, 2))
+        srt = _run_bounces(
+            dataclasses.replace(base, sorted_shadow_march=True),
+            data, static, camera, n, depths=(0, 1, 2))
+        for d, (a, b) in enumerate(zip(plain, srt)):
+            for field in ("radiance", "throughput", "origin",
+                          "direction", "alive", "pixel", "sample_idx",
+                          "prev_pdf", "color_out", "bg_out",
+                          "alpha_out", "normal_out", "time"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(a, field)),
+                    np.asarray(getattr(b, field)),
+                    err_msg=f"{field} differs at depth {d} tail={tail}")
+
+
+def test_shadow_sort_key_prices_segments(interpret_fused):
+    """The cost key must be finite, >= 1 per segment (inactive segments
+    still cost one chain iteration), and larger for rays whose shadow
+    chains actually march."""
+    import jax.numpy as jnp
+    from rayn_tpu.render.integrator import bounce as _  # noqa: F401
+    from rayn_tpu.render import renderer
+    from rayn_tpu.render.integrator import init_state
+    from rayn_tpu.ops import intersect
+
+    n = 512
+    res = (32, 32)
+    s = RenderSettings(resolution=res, spp=4, max_marches=64,
+                       max_vis_marches=48, rays_per_pass=n)
+    data, static, camera = presets.default_scene(resolution=res)
+    state, tables, (ha, hl) = _states(s, data, static, camera, n)
+    hit = intersect.closest_hit(
+        data, static, s, state.origin, state.direction, state.time,
+        jnp.full((n,), 2.0 * s.world_radius), jnp.broadcast_to(ha, (n,)),
+        jnp.broadcast_to(hl, (n,)), state.alive)
+    info = intersect.shading_info(data, static, s, hit, state.origin,
+                                  state.direction, state.time,
+                                  jnp.broadcast_to(ha, (n,)),
+                                  jnp.broadcast_to(hl, (n,)))
+    from rayn_tpu.ops import bsdf as bsdf_ops
+    live = state.alive & hit.valid
+    mat = bsdf_ops.gather(data.materials, info.mat)
+    receives = bsdf_ops.receives_light(mat) & live
+    from rayn_tpu.render.integrator import _equi_angular_samples
+    vd, _vp = _equi_angular_samples(data, static, s, tables, state, hit, 0)
+    key = np.asarray(shade_pallas.shadow_sort_key(
+        data, static, s, tables, 0,
+        info.point, info.normal, info.offset_by,
+        state.origin, state.direction, live, receives,
+        state.sample_idx, state.pixel, state.time, vd))
+    segs = s.nee_light_samples * (1 + s.volume_marches)
+    assert np.isfinite(key).all()
+    assert (key >= segs).all()  # every segment costs >= 1
+    assert key.max() > key.min()  # it actually discriminates
+    # rays that shade nothing should price at the floor
+    dead = ~np.asarray(receives) & ~np.asarray(live)
+    if dead.any():
+        assert np.allclose(key[dead], segs)

@@ -39,6 +39,10 @@ def main():
         time_pass(f"{label} chained",
                   dataclasses.replace(base, chained_shadow_march=True),
                   data, static, camera)
+        time_pass(f"{label} chained + cost-sorted",
+                  dataclasses.replace(base, chained_shadow_march=True,
+                                      sorted_shadow_march=True),
+                  data, static, camera)
 
 
 if __name__ == "__main__":

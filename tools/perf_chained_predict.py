@@ -127,6 +127,24 @@ def main():
 
     setup = jax.jit(seg_setup)
 
+    def seg_two_step(start, end, active):
+        """March position after exactly two loop iterations (the same
+        step rule as the occlusion march), for the 2-step sort key."""
+        t0, md, nan = seg_setup(start, end, active)
+        seg = end - start
+        d = seg / jnp.sqrt(jnp.sum(seg * seg, axis=-1))[:, None]
+        eps_c, eps_l = 1e-4 * detail, 1e-5 * detail
+        t = t0
+        for _ in range(2):
+            gt_nan = (t > md) | nan
+            dist = prog.dist(start + t[:, None] * d)
+            hit = jnp.abs(dist) < jnp.maximum(eps_c, eps_l * t)
+            done = hit | gt_nan
+            t = jnp.where(done, t, t + dist)
+        return t
+
+    two_step = jax.jit(seg_two_step)
+
     B = args.block
     tot_seq = tot_chain = tot_flat = 0
     prev_totals = None
@@ -185,8 +203,17 @@ def main():
         # per-segment budget; entry-resolved segments cost 1
         est = np.minimum(md / np.maximum(t0, 1e-6), cap)
         est = np.where(nan | (t0 > md), 1.0, est)
+        # 2-step extrapolation: march two real steps, then extrapolate
+        # the remaining distance at the mean step size so far (captures
+        # early creep that the first DE alone misses; 2x the key DEs)
+        t2 = np.asarray(two_step(start, end, active)).reshape(k, args.n)
+        mean_step = np.maximum((t2 - t0) * 0.5, 1e-6)
+        est2 = 2.0 + np.minimum((md - t2) / mean_step, cap - 2)
+        est2 = np.where(nan | (t0 > md), 1.0,
+                        np.where(t2 > md, np.minimum(est, 2.0), est2))
         live_t0 = np.where(nan, np.inf, t0)
         for name, key in (("md/t0", est.sum(axis=0)),
+                          ("2-step", est2.sum(axis=0)),
                           ("min-t0", -live_t0.min(axis=0)),
                           # per-ray keys computable OUTSIDE the fused
                           # kernel: the NEE segments all start at the

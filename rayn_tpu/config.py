@@ -160,7 +160,7 @@ class RenderSettings:
     # (tools/perf_chained_predict.py, sortkey md/t0). Per-ray results
     # are bit-identical: sorting changes block membership only, and the
     # bounce output is unsorted back to pixel-major order before the
-    # film splat. Costs ~40 payload columns of XLA sort + the key
+    # film splat. Costs 40/28 payload columns of XLA sort + the key
     # kernel per bounce. Off until measured on hardware.
     sorted_shadow_march: bool = False
 

@@ -162,7 +162,7 @@ def test_occluded(data: SceneData, static: SceneStatic,
                 phase1_steps=settings.occl_phase1_steps,
                 block_rows=settings.pallas_occl_block_rows)
         elif settings.use_pallas_occlusion and _pallas_ok(settings, prog):
-            if (segments > 1 and settings.chained_shadow_march
+            if (1 < segments <= 30 and settings.chained_shadow_march
                     and settings.march_relaxation == 1.0
                     and start.shape[0] % segments == 0):
                 k, nseg = segments, start.shape[0] // segments

@@ -243,37 +243,55 @@ def march_sorted(prog: SdfProgram, origin, direction, t_max,
     return out
 
 
-def _occl_kernel(fn_c, treedef, n_leaves, max_steps, eps_c, eps_l, relax,
-                 bound_radius, params_ref, sx, sy, sz, ex, ey, ez, act, out):
-    prm = _unflatten_params(params_ref, treedef, n_leaves)
-    s_x, s_y, s_z = sx[:], sy[:], sz[:]
-    seg_x = ex[:] - s_x
-    seg_y = ey[:] - s_y
-    seg_z = ez[:] - s_z
-    max_dist = jnp.sqrt(seg_x * seg_x + seg_y * seg_y + seg_z * seg_z)
-    inv = 1.0 / max_dist
-    d_x, d_y, d_z = seg_x * inv, seg_y * inv, seg_z * inv
-    active = act[:] != 0
+def _segment_entry(fn_c, prm, bound_radius, sx, sy, sz, ex, ey, ez, act):
+    """Shadow-segment entry setup, single-sourced across the sequential
+    occlusion kernel, the chained core (march_occlusion_chained /
+    shade_pallas._shadow_delta) and the sort-key estimate
+    (shade_pallas._segment_cost): normalized direction, effective
+    segment length, starting t, entry-resolved mask. Mirrors
+    march.march_occlusion (reference src/sdf.rs:25-57) including the
+    optional bounding-volume clip: lanes that miss the bound are
+    entry-resolved, the march start jumps to the bound entry, and the
+    effective end is clipped to the exit.
 
-    dist0 = fn_c(prm, s_x, s_y, s_z)
-    nan_mask = jnp.isnan(dist0) | jnp.logical_not(active)
-    # Mosaic cannot carry vector<i1> through scf.while — keep the hit mask
-    # as an int32 vector in the carry.
-    hit0 = ((dist0 < 1e-4) & active).astype(jnp.int32)
-
+    Returns (dx, dy, dz, md, t0, entry_resolved, dist0_raw, bv_miss):
+    t0 = max(first DE, clip entry); entry_resolved = NaN DE | inactive
+    | clip miss; dist0_raw = the unclipped first DE (the sequential
+    kernel's initial `dist < 1e-4` test needs it); bv_miss = False
+    everywhere when no clip is configured."""
+    seg_x, seg_y, seg_z = ex - sx, ey - sy, ez - sz
+    md = jnp.sqrt(seg_x * seg_x + seg_y * seg_y + seg_z * seg_z)
+    inv = 1.0 / md
+    dx, dy, dz = seg_x * inv, seg_y * inv, seg_z * inv
+    dist0 = fn_c(prm, sx, sy, sz)
+    nan = jnp.isnan(dist0) | jnp.logical_not(act)
+    t0 = dist0
+    bv_miss = jnp.zeros_like(nan)
     if bound_radius > 0.0:
-        # Bounding-volume clip (mirrors march.march_occlusion): miss ->
-        # skip, start jumps to entry, end clipped to exit.
-        b = s_x * d_x + s_y * d_y + s_z * d_z
-        c = s_x * s_x + s_y * s_y + s_z * s_z - bound_radius * bound_radius
+        b = sx * dx + sy * dy + sz * dz
+        c = sx * sx + sy * sy + sz * sz - bound_radius * bound_radius
         disc = b * b - c
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
         t_exit = -b + sq
         bv_miss = (disc <= 0.0) | (t_exit <= 0.0)
-        nan_mask = nan_mask | bv_miss
-        hit0 = jnp.where(bv_miss, 0, hit0)
-        max_dist = jnp.minimum(max_dist, t_exit)
-        dist0 = jnp.maximum(dist0, jnp.maximum(-b - sq, 0.0))
+        nan = nan | bv_miss
+        md = jnp.minimum(md, t_exit)
+        t0 = jnp.maximum(dist0, jnp.maximum(-b - sq, 0.0))
+    return dx, dy, dz, md, t0, nan, dist0, bv_miss
+
+
+def _occl_kernel(fn_c, treedef, n_leaves, max_steps, eps_c, eps_l, relax,
+                 bound_radius, params_ref, sx, sy, sz, ex, ey, ez, act, out):
+    prm = _unflatten_params(params_ref, treedef, n_leaves)
+    s_x, s_y, s_z = sx[:], sy[:], sz[:]
+    active = act[:] != 0
+    (d_x, d_y, d_z, max_dist, dist0, nan_mask, dist0_raw,
+     bv_miss) = _segment_entry(fn_c, prm, bound_radius,
+                               s_x, s_y, s_z, ex[:], ey[:], ez[:], active)
+    # Mosaic cannot carry vector<i1> through scf.while — keep the hit mask
+    # as an int32 vector in the carry.
+    hit0 = ((dist0_raw < 1e-4) & active
+            & jnp.logical_not(bv_miss)).astype(jnp.int32)
 
     if relax == 1.0:
         def cond(state):
@@ -837,23 +855,8 @@ def _chained_occl_core(fn_c, prm, max_steps, eps_c, eps_l, bound_radius,
     assert 1 <= K <= 30, K
     SX, SY, SZ, DX, DY, DZ, MD, T0, NAN = ([] for _ in range(9))
     for (sx, sy, sz, ex, ey, ez, act) in segs:
-        seg_x, seg_y, seg_z = ex - sx, ey - sy, ez - sz
-        md = jnp.sqrt(seg_x * seg_x + seg_y * seg_y + seg_z * seg_z)
-        inv = 1.0 / md
-        dx, dy, dz = seg_x * inv, seg_y * inv, seg_z * inv
-        dist0 = fn_c(prm, sx, sy, sz)
-        nan = jnp.isnan(dist0) | jnp.logical_not(act)
-        t0 = dist0
-        if bound_radius > 0.0:
-            b = sx * dx + sy * dy + sz * dz
-            c = sx * sx + sy * sy + sz * sz - bound_radius * bound_radius
-            disc = b * b - c
-            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            t_exit = -b + sq
-            bv_miss = (disc <= 0.0) | (t_exit <= 0.0)
-            nan = nan | bv_miss
-            md = jnp.minimum(md, t_exit)
-            t0 = jnp.maximum(dist0, jnp.maximum(-b - sq, 0.0))
+        dx, dy, dz, md, t0, nan, _d0, _bv = _segment_entry(
+            fn_c, prm, bound_radius, sx, sy, sz, ex, ey, ez, act)
         SX.append(sx), SY.append(sy), SZ.append(sz)
         DX.append(dx), DY.append(dy), DZ.append(dz)
         MD.append(md), T0.append(t0), NAN.append(nan.astype(jnp.int32))

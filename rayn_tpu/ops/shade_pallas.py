@@ -45,8 +45,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from rayn_tpu.ops.march_pallas import (LANES, _chained_occl_core,
-                                       _flatten_params, _to_rows,
-                                       _unflatten_params)
+                                       _flatten_params, _segment_entry,
+                                       _to_rows, _unflatten_params)
 from rayn_tpu.scene.scene import (DIELECTRIC, EMISSIVE, LAMBERT, METALLIC,
                                   REFRACTIVE, SKY)
 from rayn_tpu.utils import rng as rng_mod
@@ -362,26 +362,11 @@ def _sdf_occluded(fn_c, prm, max_steps, eps_c, eps_l,
     """Segment occlusion march; mirrors march_pallas._occl_kernel
     relax==1 (reference src/sdf.rs:25-57), including the optional
     bounding-volume segment clip. Returns bool occluded."""
-    seg_x, seg_y, seg_z = ex - sx, ey - sy, ez - sz
-    max_dist = jnp.sqrt(seg_x * seg_x + seg_y * seg_y + seg_z * seg_z)
-    inv = 1.0 / max_dist
-    d_x, d_y, d_z = seg_x * inv, seg_y * inv, seg_z * inv
-
-    dist0 = fn_c(prm, sx, sy, sz)
-    nan_mask = jnp.isnan(dist0) | jnp.logical_not(active)
-    hit0 = ((dist0 < 1e-4) & active).astype(jnp.int32)
-
-    if bound_radius > 0.0:
-        b = sx * d_x + sy * d_y + sz * d_z
-        c = sx * sx + sy * sy + sz * sz - bound_radius * bound_radius
-        disc = b * b - c
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        t_exit = -b + sq
-        bv_miss = (disc <= 0.0) | (t_exit <= 0.0)
-        nan_mask = nan_mask | bv_miss
-        hit0 = jnp.where(bv_miss, 0, hit0)
-        max_dist = jnp.minimum(max_dist, t_exit)
-        dist0 = jnp.maximum(dist0, jnp.maximum(-b - sq, 0.0))
+    (d_x, d_y, d_z, max_dist, dist0, nan_mask, dist0_raw,
+     bv_miss) = _segment_entry(fn_c, prm, bound_radius,
+                               sx, sy, sz, ex, ey, ez, active)
+    hit0 = ((dist0_raw < 1e-4) & active
+            & jnp.logical_not(bv_miss)).astype(jnp.int32)
 
     def cond(state):
         step, _, _, stop = state
@@ -695,7 +680,10 @@ def _shadow_delta(cfg, consts, frame_u32, sets, lights, spheres, v,
     # verdicts bit-identical to _sdf_occluded), then apply the pending
     # contributions in the same segment order as the sequential path —
     # the accumulated radiance is bit-identical either way.
-    use_chained = chained and fn_c is not None
+    # (verdict bits share one int32 in the chained core, so fall back
+    # to sequential loops past 30 segments — exotic configs only)
+    use_chained = (chained and fn_c is not None
+                   and L + (VM * L if has_scat else 0) <= 30)
     seg_list, pend = [], []
 
     # --- NEE surface samples (integrator step 3) ---
@@ -822,22 +810,8 @@ def _segment_cost(fn_c, prm, max_steps, bv_r, sx, sy, sz, ex, ey, ez, act):
     capped at the step budget; entry-resolved/inactive segments cost the
     1 chain iteration they take. Shares the clip arithmetic with
     _chained_occl_core so the estimate sees the same effective segment."""
-    seg_x, seg_y, seg_z = ex - sx, ey - sy, ez - sz
-    md = jnp.sqrt(seg_x * seg_x + seg_y * seg_y + seg_z * seg_z)
-    inv = 1.0 / md
-    dx, dy, dz = seg_x * inv, seg_y * inv, seg_z * inv
-    dist0 = fn_c(prm, sx, sy, sz)
-    nan = jnp.isnan(dist0) | jnp.logical_not(act)
-    t0 = dist0
-    if bv_r > 0.0:
-        b = sx * dx + sy * dy + sz * dz
-        c = sx * sx + sy * sy + sz * sz - bv_r * bv_r
-        disc = b * b - c
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        t_exit = -b + sq
-        nan = nan | (disc <= 0.0) | (t_exit <= 0.0)
-        md = jnp.minimum(md, t_exit)
-        t0 = jnp.maximum(dist0, jnp.maximum(-b - sq, 0.0))
+    _dx, _dy, _dz, md, t0, nan, _d0, _bv = _segment_entry(
+        fn_c, prm, bv_r, sx, sy, sz, ex, ey, ez, act)
     est = jnp.minimum(md / jnp.maximum(t0, 1e-6), float(max_steps))
     return jnp.where(nan | (t0 > md), 1.0, est)
 

@@ -112,7 +112,7 @@ def _state_from_cols(c) -> PathState:
 
 def _sort_by_cost(state: PathState, hit, info, key):
     """Payload-sort the whole per-ray bounce state by DESCENDING cost
-    key (one variadic XLA sort, 41 columns — per-lane gathers would be
+    key (one variadic XLA sort, 40 columns — per-lane gathers would be
     ~20x slower at this width). Sorting changes only which Pallas block
     a ray lands in; every per-lane output is position-independent, and
     `_unsort_state` restores the exact original order before the film
@@ -158,6 +158,25 @@ def _gather_lights(data: SceneData, time: jnp.ndarray, lidx: jnp.ndarray):
     return pos, rad, em
 
 
+def _derive_shading(data: SceneData, static: SceneStatic,
+                    state: PathState, hit, info):
+    """Per-lane values derived from (state, hit, info). Called once per
+    bounce, and AGAIN after _sort_by_cost so the sorted path re-derives
+    them in the new lane order from one definition (elementwise/one-hot
+    — bit-identical per lane)."""
+    live = state.alive & hit.valid  # lanes shading this bounce
+    # Missing lanes die silently (the reference never bins them,
+    # src/hitable.rs:203-209).
+    mat = bsdf_ops.gather(data.materials, info.mat)
+    receives = bsdf_ops.receives_light(mat) & live
+    wo = -state.direction
+    if static.has_extinction:
+        vol_trans = jnp.exp(-data.volume_sigma_t * hit.t)
+    else:
+        vol_trans = jnp.ones(hit.t.shape, jnp.float32)
+    return live, mat, receives, wo, vol_trans
+
+
 def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
            tables: SampleTables, state: PathState, depth: int,
            hps_abs0: jnp.ndarray, hps_lin0: jnp.ndarray) -> PathState:
@@ -191,17 +210,8 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
             data, static, s, hit, state.origin, state.direction,
             state.time, hps_abs, hps_lin)
 
-    live = state.alive & hit.valid  # lanes shading this bounce
-    # Missing lanes die silently (the reference never bins them,
-    # src/hitable.rs:203-209).
-    mat = bsdf_ops.gather(data.materials, info.mat)
-    receives = bsdf_ops.receives_light(mat) & live
-    wo = -state.direction
-
-    if static.has_extinction:
-        vol_trans = jnp.exp(-data.volume_sigma_t * hit.t)
-    else:
-        vol_trans = jnp.ones((n,), jnp.float32)
+    live, mat, receives, wo, vol_trans = _derive_shading(
+        data, static, state, hit, info)
 
     # Fully fused bounce tail: shadow kernel (steps 3+4) + finish kernel
     # (steps 2 and 5-7, emission folded in). Same formulas/streams;
@@ -229,16 +239,8 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
                 block_rows=s.pallas_occl_block_rows)
             state, hit, info, unsort_iota = _sort_by_cost(
                 state, hit, info, cost)
-            # re-derive the per-lane values computed above in the new
-            # order (elementwise/one-hot — bit-identical per lane)
-            live = state.alive & hit.valid
-            mat = bsdf_ops.gather(data.materials, info.mat)
-            receives = bsdf_ops.receives_light(mat) & live
-            wo = -state.direction
-            if static.has_extinction:
-                vol_trans = jnp.exp(-data.volume_sigma_t * hit.t)
-            else:
-                vol_trans = jnp.ones((n,), jnp.float32)
+            live, mat, receives, wo, vol_trans = _derive_shading(
+                data, static, state, hit, info)
         if s.use_fused_bounce_tail and static.n_lights > 0:
             # whole-tail mega-kernel: shadow + finish in one launch
             out = shade_pallas.bounce_tail_fused(

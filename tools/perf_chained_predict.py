@@ -96,7 +96,7 @@ def main():
     queues, prog, settings = capture_queues(args.n)
     from rayn_tpu.scene import presets
     _, static, _ = presets.default_scene(resolution=(512, 512))
-    detail = settings.sdf_detail_scale
+    detail = settings.sdf_detail_scale * settings.shadow_eps_scale
     cap = settings.max_vis_marches
     bv_r = static.sdf_bound_radius if settings.shadow_bv_clip else 0.0
     print(f"captured {len(queues)} bounces, n={args.n}, "

@@ -44,6 +44,24 @@ def main():
                                       sorted_shadow_march=True),
                   data, static, camera)
 
+    # Chained-kernel block-row sweep (512x512 only): the chained kernel
+    # holds 12 segment registers per lane, so its VMEM footprint per
+    # block is larger than the sequential kernel's — the 64-row default
+    # was tuned for the latter and may not be optimal here.
+    res = (512, 512)
+    base = RenderSettings(resolution=res, spp=128, rays_per_pass=1 << 20)
+    data, static, camera = presets.default_scene(resolution=res)
+    for rows in (32, 128):
+        time_pass(f"512x512 chained occl_block_rows={rows}",
+                  dataclasses.replace(base, chained_shadow_march=True,
+                                      pallas_occl_block_rows=rows),
+                  data, static, camera)
+        time_pass(f"512x512 chained+sorted occl_block_rows={rows}",
+                  dataclasses.replace(base, chained_shadow_march=True,
+                                      sorted_shadow_march=True,
+                                      pallas_occl_block_rows=rows),
+                  data, static, camera)
+
 
 if __name__ == "__main__":
     main()

@@ -161,7 +161,11 @@ class RenderSettings:
     # are bit-identical: sorting changes block membership only, and the
     # bounce output is unsorted back to pixel-major order before the
     # film splat. Costs 40/28 payload columns of XLA sort + the key
-    # kernel per bounce. Off until measured on hardware.
+    # kernel per bounce. Default OFF: the sorted pass program is
+    # compile-PATHOLOGICAL on v5e (did not finish compiling in 45 min
+    # vs 2-4 min unsorted, 2026-08-18 A/B; BASELINE.md round-3) — the
+    # modeled 1.5-2.2x shadow-loop win is unreachable until an XLA
+    # release compiles the per-bounce sort chain in reasonable time.
     sorted_shadow_march: bool = False
 
     # Two-phase occlusion march: phase 1 marches the whole shadow queue

@@ -9,6 +9,7 @@ block iterations (tools/perf_chained_predict.py), ~25% one-hot refresh
 overhead => expected ~1.2-1.4x end-to-end on the march-bound fractal.
 """
 
+import argparse
 import dataclasses
 import os
 import sys
@@ -23,6 +24,16 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("RAYN_JAX_CACHE", "/tmp/rayn_jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--include-sorted", action="store_true",
+                    help="also time the cost-sorted legs. MEASURED "
+                         "compile-pathological on v5e through the axon "
+                         "tunnel (2026-08-18): the sorted pass program "
+                         "(40/28-column payload sorts per bounce) did not "
+                         "finish compiling in 45 minutes vs 2-4 min for "
+                         "the unsorted pass — see BASELINE.md round-3 A/B")
+    args = ap.parse_args()
 
     from perf_pass import time_pass
     from rayn_tpu.config import RenderSettings
@@ -39,10 +50,11 @@ def main():
         time_pass(f"{label} chained",
                   dataclasses.replace(base, chained_shadow_march=True),
                   data, static, camera)
-        time_pass(f"{label} chained + cost-sorted",
-                  dataclasses.replace(base, chained_shadow_march=True,
-                                      sorted_shadow_march=True),
-                  data, static, camera)
+        if args.include_sorted:
+            time_pass(f"{label} chained + cost-sorted",
+                      dataclasses.replace(base, chained_shadow_march=True,
+                                          sorted_shadow_march=True),
+                      data, static, camera)
 
     # Chained-kernel block-row sweep (512x512 only): the chained kernel
     # holds 12 segment registers per lane, so its VMEM footprint per
@@ -56,11 +68,12 @@ def main():
                   dataclasses.replace(base, chained_shadow_march=True,
                                       pallas_occl_block_rows=rows),
                   data, static, camera)
-        time_pass(f"512x512 chained+sorted occl_block_rows={rows}",
-                  dataclasses.replace(base, chained_shadow_march=True,
-                                      sorted_shadow_march=True,
-                                      pallas_occl_block_rows=rows),
-                  data, static, camera)
+        if args.include_sorted:
+            time_pass(f"512x512 chained+sorted occl_block_rows={rows}",
+                      dataclasses.replace(base, chained_shadow_march=True,
+                                          sorted_shadow_march=True,
+                                          pallas_occl_block_rows=rows),
+                      data, static, camera)
 
 
 if __name__ == "__main__":

@@ -51,11 +51,14 @@ def make_mesh(devices=None, tile_axis: Optional[int] = None) -> Mesh:
 
 def render_pass_sharded(mesh: Mesh, film, data, static,
                         settings: RenderSettings, tables, camera, fis_table,
-                        pass_start, per_device: int, t0, t1):
+                        pass_start, per_device: int, t0, t1,
+                        sample_base: int = 0):
     """One render pass of `per_device * n_devices` rays, dealt out
     device-major, with the film psum-reduced across the mesh (replicated
     result). Ray ids are derived on each device from its mesh coordinates
-    — nothing rides the interconnect but the film psum."""
+    — nothing rides the interconnect but the film psum. `sample_base`
+    shifts the per-pixel sample indices (progressive spp; see
+    renderer.generate_rays)."""
     spp_size = mesh.shape["spp"]
 
     def local_pass(film, data, tables, camera, fis_table, pass_start, t0, t1):
@@ -64,7 +67,8 @@ def render_pass_sharded(mesh: Mesh, film, data, static,
         start = pass_start + dev.astype(jnp.int32) * per_device
         local = renderer.render_pass(
             film_mod.new_film(film.color.shape[0]), data, static, settings,
-            tables, camera, fis_table, start, per_device, t0, t1)
+            tables, camera, fis_table, start, per_device, t0, t1,
+            sample_base=sample_base)
         summed = jax.tree.map(
             lambda x: jax.lax.psum(x, ("tile", "spp")), local)
         return jax.tree.map(jnp.add, film, summed)
@@ -74,6 +78,12 @@ def render_pass_sharded(mesh: Mesh, film, data, static,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
         out_specs=P(),
+        # pallas_call does not yet annotate its outputs with
+        # varying-mesh-axes info, so the vma lint rejects the fused
+        # Pallas kernels under shard_map (found by
+        # tests/test_sharding.py::test_fused_kernels_under_shard_map).
+        # Correctness is covered by the equality-vs-single-device tests.
+        check_vma=False,
     )
     return fn(film, data, tables, camera, fis_table, pass_start, t0, t1)
 
@@ -81,7 +91,10 @@ def render_pass_sharded(mesh: Mesh, film, data, static,
 def render_frames_per_chip(data, static, settings: RenderSettings, camera,
                            frames, mesh: Optional[Mesh] = None,
                            filter=None, frame_rate: float = 24.0,
-                           shutter_speed: float = 1.0 / 24.0
+                           shutter_speed: float = 1.0 / 24.0,
+                           checkpoint_dir: Optional[str] = None,
+                           retries: int = 0,
+                           progress: Optional[callable] = None
                            ) -> list[film_mod.Film]:
     """Frame-level parallelism: deal whole frames across the mesh's
     devices, one frame per chip (BASELINE.json config #5; the
@@ -95,7 +108,14 @@ def render_frames_per_chip(data, static, settings: RenderSettings, camera,
 
     `frames` is a list of frame indices; it is processed in chunks of
     n_devices. Returns one Film per frame, in order.
-    """
+
+    Elastic recovery (SURVEY.md §5, multi-chip parity): with
+    `checkpoint_dir` set, every finished frame's film is persisted to
+    `<dir>/frame_<f>.npz` (single-chip checkpoint format) and already-
+    persisted frames are skipped on restart, so a preempted farm loses
+    at most one in-flight chunk; transient chunk failures are retried
+    `retries` times. `progress(frames_done, frames_total)` runs after
+    each chunk."""
     devices = list((mesh.devices.flatten() if mesh is not None
                     else jax.devices()))
     w, h = settings.resolution
@@ -105,10 +125,28 @@ def render_frames_per_chip(data, static, settings: RenderSettings, camera,
     filt = filter or filter_ops.blackman_harris(1.5)
     fis_table = filter_ops.build_fis_table(filt, settings.filter_table_size)
 
-    films: list[film_mod.Film] = []
+    if checkpoint_dir:
+        import os
+
+        from rayn_tpu.render import checkpoint as ckpt
+
+        def _ckpt_path(f):
+            return os.path.join(checkpoint_dir, f"frame_{f}.npz")
+
     frames = list(frames)
-    for chunk_start in range(0, len(frames), len(devices)):
-        chunk = frames[chunk_start:chunk_start + len(devices)]
+    by_frame: dict[int, film_mod.Film] = {}
+    todo = []
+    for f in frames:
+        if checkpoint_dir:
+            resumed = ckpt.load(_ckpt_path(f), settings, f, scene=data,
+                                camera=camera, fis_table=fis_table)
+            if resumed is not None and resumed[1] >= n_passes:
+                by_frame[f] = resumed[0]
+                continue
+        if f not in by_frame and f not in todo:
+            todo.append(f)
+
+    def render_chunk(chunk):
         fmesh = Mesh(np.asarray(devices[:len(chunk)]), ("frame",))
 
         # Per-frame leading axis [F, ...]: sampler salt + shutter range.
@@ -136,47 +174,44 @@ def render_frames_per_chip(data, static, settings: RenderSettings, camera,
         ))
         out = fn(data, tables, camera, fis_table, t0, t1)
         jax.block_until_ready(out)
-        for i in range(len(chunk)):
-            films.append(jax.tree.map(lambda x: x[i], out))
-    return films
+        return out
+
+    done = len(by_frame)
+    for chunk_start in range(0, len(todo), len(devices)):
+        chunk = todo[chunk_start:chunk_start + len(devices)]
+        for attempt in range(retries + 1):
+            try:
+                out = render_chunk(chunk)
+                break
+            except KeyboardInterrupt:
+                raise
+            except renderer._TRANSIENT_ERRORS:
+                if attempt == retries:
+                    raise
+        for i, f in enumerate(chunk):
+            film = jax.tree.map(lambda x: x[i], out)
+            by_frame[f] = film
+            if checkpoint_dir:
+                ckpt.save(_ckpt_path(f), film, settings, f, n_passes,
+                          scene=data, camera=camera, fis_table=fis_table)
+        done += len(chunk)
+        if progress is not None:
+            progress(done, len(frames))
+    return [by_frame[f] for f in frames]
 
 
 def render_frame_sharded(data, static, settings: RenderSettings, camera,
                          frame: int = 1, mesh: Optional[Mesh] = None,
-                         time_range=None, filter=None,
-                         frame_rate: float = 24.0,
-                         shutter_speed: float = 1.0 / 24.0) -> film_mod.Film:
+                         **kwargs) -> film_mod.Film:
     """Multi-chip `render_frame`: identical image to the single-chip path
-    for any device count (determinism across shard counts, SURVEY.md §4)."""
-    mesh = mesh or make_mesh()
-    n_dev = mesh.devices.size
-    w, h = settings.resolution
-    total = w * h * settings.spp
-    if time_range is None:
-        start = frame / frame_rate
-        time_range = (start, start + shutter_speed)
-    tables = rng.build_sample_tables(settings, frame)
-    filt = filter or filter_ops.blackman_harris(1.5)
-    fis_table = filter_ops.build_fis_table(filt, settings.filter_table_size)
+    for any device count (determinism across shard counts, SURVEY.md §4).
 
-    # pass size divisible by the device count
-    per_dev = min(settings.rays_per_pass, -(-total // n_dev))
-    pass_size = per_dev * n_dev
-    n_passes = -(-total // pass_size)
-
-    film = film_mod.new_film(w * h)
-    t0 = jnp.float32(time_range[0])
-    t1 = jnp.float32(time_range[1])
-
-    @jax.jit
-    def step(film, data, tables, camera, fis_table, pass_start, t0, t1):
-        return render_pass_sharded(mesh, film, data, static, settings,
-                                   tables, camera, fis_table, pass_start,
-                                   per_dev, t0, t1)
-
-    for p in range(n_passes):
-        film = step(film, data, tables, camera, fis_table,
-                    jnp.int32(p * pass_size), t0, t1)
-        # per-pass scalar sync; see rayn_tpu.render.renderer.render_frame
-        float(film.samples[-1])
-    return film
+    Thin wrapper over `renderer.render_frame(mesh=...)`, so the full
+    single-chip feature set — checkpoint_path/checkpoint_every (the
+    psum-merged film is replicated, the single-chip .npz format applies
+    as-is), progress callback, and the bounded async queue (sync_every)
+    — works unchanged on a mesh. For failure retry, use
+    `renderer.render_frame_resilient(..., mesh=mesh)`."""
+    return renderer.render_frame(data, static, settings, camera,
+                                 frame=frame, mesh=mesh or make_mesh(),
+                                 **kwargs)

@@ -77,70 +77,52 @@ def init_state(origin, direction, time, pixel, sample_idx, alive) -> PathState:
         alpha_out=jnp.zeros((n,), jnp.float32), normal_out=z3)
 
 
-def _state_cols(state: PathState):
-    """PathState as a flat list of 27 [N] columns (lax.sort payload
-    form; bool rides as int32)."""
-    return [
-        state.origin[:, 0], state.origin[:, 1], state.origin[:, 2],
-        state.direction[:, 0], state.direction[:, 1],
-        state.direction[:, 2],
-        state.time,
-        state.radiance[:, 0], state.radiance[:, 1], state.radiance[:, 2],
-        state.throughput[:, 0], state.throughput[:, 1],
-        state.throughput[:, 2],
-        state.pixel, state.sample_idx,
-        state.alive.astype(jnp.int32), state.prev_pdf,
-        state.color_out[:, 0], state.color_out[:, 1],
-        state.color_out[:, 2],
-        state.bg_out[:, 0], state.bg_out[:, 1], state.bg_out[:, 2],
-        state.alpha_out,
-        state.normal_out[:, 0], state.normal_out[:, 1],
-        state.normal_out[:, 2],
-    ]
+def _sort_chunk(n: int) -> int:
+    """Lanes per sort unit. Cost-sorting schedules CHUNKS of adjacent
+    lanes, not single lanes: adjacent lanes are pixel-coherent (the
+    queue is pixel-major) so their shadow-chain costs correlate, and
+    chunk-granular permutation runs at row-gather bandwidth — per-LANE
+    permutation of the 49-column bounce state measured 95 ms/M on v5e
+    (pack/interleave bound; tools/perf_sorted_decomp.py) and ate the
+    entire 206 ms/M scheduling win; 512-lane chunk gathers are sub-ms."""
+    for chunk in (512, 128, 8):
+        if n % chunk == 0:
+            return chunk
+    return 1
 
 
-def _state_from_cols(c) -> PathState:
-    def v3(i):
-        return jnp.stack([c[i], c[i + 1], c[i + 2]], axis=-1)
+def _permute_chunks(tree, perm, chunk: int):
+    """Permute every leaf's leading axis by the CHUNK permutation `perm`
+    (leaf rows [i*chunk, (i+1)*chunk) move together). One row-granular
+    take per leaf — no packing, no interleave."""
+    def one(leaf):
+        a = leaf.reshape((-1, chunk) + leaf.shape[1:])
+        return jnp.take(a, perm, axis=0).reshape(leaf.shape)
 
-    return PathState(
-        origin=v3(0), direction=v3(3), time=c[6], radiance=v3(7),
-        throughput=v3(10), pixel=c[13], sample_idx=c[14],
-        alive=c[15] != 0, prev_pdf=c[16], color_out=v3(17),
-        bg_out=v3(20), alpha_out=c[23], normal_out=v3(24))
+    return jax.tree.map(one, tree)
 
 
-def _sort_by_cost(state: PathState, hit, info, key):
-    """Payload-sort the whole per-ray bounce state by DESCENDING cost
-    key (one variadic XLA sort, 40 columns — per-lane gathers would be
-    ~20x slower at this width). Sorting changes only which Pallas block
-    a ray lands in; every per-lane output is position-independent, and
+def _sort_by_cost(state: PathState, hit, info, key, chunk: int):
+    """Sort the whole per-ray bounce state by DESCENDING per-chunk cost
+    key: reduce the per-lane key over chunks, one tiny 2-column
+    `lax.sort` produces the chunk permutation, row-granular takes apply
+    it (`_permute_chunks`). Sorting changes only which Pallas block a
+    chunk lands in; every per-lane output is position-independent, and
     `_unsort_state` restores the exact original order before the film
     splat, so results are bit-identical to the unsorted path."""
-    n = key.shape[0]
-    iota = jnp.arange(n, dtype=jnp.int32)
-    ops = jax.lax.sort(
-        [-key, iota] + _state_cols(state)
-        + [hit.t, hit.obj, hit.valid.astype(jnp.int32),
-           info.point[:, 0], info.point[:, 1], info.point[:, 2],
-           info.normal[:, 0], info.normal[:, 1], info.normal[:, 2],
-           info.offset_by, info.mat],
-        num_keys=1)
-    state = _state_from_cols(ops[2:29])
-    hit = intersect.Hit(ops[29], ops[30], ops[31] != 0)
-    info = intersect.ShadingInfo(
-        point=jnp.stack(ops[32:35], axis=-1),
-        normal=jnp.stack(ops[35:38], axis=-1),
-        offset_by=ops[38], mat=ops[39])
-    return state, hit, info, ops[1]
+    ckey = jnp.sum(key.reshape(-1, chunk), axis=-1)
+    iota = jnp.arange(ckey.shape[0], dtype=jnp.int32)
+    _, perm = jax.lax.sort([-ckey, iota], num_keys=1)
+    state, hit, info = _permute_chunks((state, hit, info), perm, chunk)
+    return state, hit, info, perm
 
 
-def _unsort_state(state: PathState, iota_sorted) -> PathState:
-    """Invert `_sort_by_cost`'s permutation on a bounce's output state
-    (iota_sorted is a permutation of arange(n); sorting by it restores
-    original lane order)."""
-    ops = jax.lax.sort([iota_sorted] + _state_cols(state), num_keys=1)
-    return _state_from_cols(ops[1:])
+def _unsort_state(state: PathState, perm, chunk: int) -> PathState:
+    """Invert `_sort_by_cost`'s chunk permutation on a bounce's output
+    state (inverse permutation via one tiny 2-column sort)."""
+    iota = jnp.arange(perm.shape[0], dtype=jnp.int32)
+    _, inv = jax.lax.sort([perm, iota], num_keys=1)
+    return _permute_chunks(state, inv, chunk)
 
 
 def _pick_lights(settings: RenderSettings, static: SceneStatic, u: jnp.ndarray):
@@ -229,6 +211,7 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
                    and static.n_lights > 0)
         unsort_iota = None
         if sort_on:
+            chunk = _sort_chunk(n)
             vd0, _ = _equi_angular_samples(data, static, s, tables,
                                            state, hit, depth)
             cost = shade_pallas.shadow_sort_key(
@@ -238,7 +221,7 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
                 state.sample_idx, state.pixel, state.time, vd0,
                 block_rows=s.pallas_occl_block_rows)
             state, hit, info, unsort_iota = _sort_by_cost(
-                state, hit, info, cost)
+                state, hit, info, cost, chunk)
             live, mat, receives, wo, vol_trans = _derive_shading(
                 data, static, state, hit, info)
         if s.use_fused_bounce_tail and static.n_lights > 0:
@@ -249,7 +232,7 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
                 *_equi_angular_samples(data, static, s, tables, state,
                                        hit, depth),
                 block_rows=s.pallas_occl_block_rows)
-            return _unsort_state(out, unsort_iota) if sort_on else out
+            return _unsort_state(out, unsort_iota, chunk) if sort_on else out
         rad = state.radiance
         if static.n_lights > 0:
             rad = rad + shade_pallas.shadow_radiance(
@@ -264,7 +247,7 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
         out = shade_pallas.finish_bounce_fused(
             data, static, s, tables, depth, state, hit, info, mat,
             live, receives, rad, block_rows=s.pallas_occl_block_rows)
-        return _unsort_state(out, unsort_iota) if sort_on else out
+        return _unsort_state(out, unsort_iota, chunk) if sort_on else out
 
     # 2. emission. With MIS, BSDF-hit emission of an emissive sphere
     # paired with a sphere light is power-heuristic weighted against the

@@ -35,12 +35,20 @@ def ray_indices(pass_start: jnp.ndarray, pass_size: int) -> jnp.ndarray:
 
 def generate_rays(settings: RenderSettings, tables: SampleTables,
                   camera: Camera, fis_table: jnp.ndarray,
-                  ray_idx: jnp.ndarray, t0: jnp.ndarray, t1: jnp.ndarray):
+                  ray_idx: jnp.ndarray, t0: jnp.ndarray, t1: jnp.ndarray,
+                  sample_base: int = 0):
     """Camera rays for flat ray indices (pixel-major, spp-minor).
 
     Mirrors reference src/film.rs:456-527: per-sample FIS pixel offset,
     NDC mapping (pixel center + offset over resolution,
     src/film.rs:694-709), shutter-time jitter, lens samples.
+
+    `sample_base` offsets the per-pixel sample index: a render with
+    settings.spp = K and sample_base = B produces exactly the rays with
+    sample indices [B, B+K) of every pixel — the progressive-spp
+    mechanism (render_frame's segment loop). The samplers are pure
+    counter functions of (pixel, sample_idx), so these rays are
+    bit-identical to the corresponding rays of a flat spp >= B+K render.
     """
     w, h = settings.resolution
     n_pixels = w * h
@@ -48,7 +56,7 @@ def generate_rays(settings: RenderSettings, tables: SampleTables,
     in_range = ray_idx < total
     safe_idx = jnp.minimum(ray_idx, total - 1)
     pixel = (safe_idx // settings.spp).astype(jnp.int32)
-    sample_idx = (safe_idx % settings.spp).astype(jnp.int32)
+    sample_idx = (safe_idx % settings.spp).astype(jnp.int32) + sample_base
     x = (pixel % w).astype(jnp.float32)
     y = (pixel // w).astype(jnp.float32)
 
@@ -68,18 +76,21 @@ def generate_rays(settings: RenderSettings, tables: SampleTables,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("static", "settings", "pass_size"),
+                   static_argnames=("static", "settings", "pass_size",
+                                    "sample_base"),
                    donate_argnames=("film",))
 def render_pass(film: film_mod.Film, data: SceneData, static: SceneStatic,
                 settings: RenderSettings, tables: SampleTables,
                 camera: Camera, fis_table: jnp.ndarray,
                 pass_start: jnp.ndarray, pass_size: int,
-                t0: jnp.ndarray, t1: jnp.ndarray) -> film_mod.Film:
+                t0: jnp.ndarray, t1: jnp.ndarray,
+                sample_base: int = 0) -> film_mod.Film:
     """Render one pass of rays [pass_start, pass_start+pass_size) and
-    accumulate into the film."""
+    accumulate into the film. `sample_base` shifts the per-pixel sample
+    indices (progressive spp; see generate_rays)."""
     ray_idx = ray_indices(pass_start, pass_size)
     origin, direction, time, pixel, sample_idx, in_range = generate_rays(
-        settings, tables, camera, fis_table, ray_idx, t0, t1)
+        settings, tables, camera, fis_table, ray_idx, t0, t1, sample_base)
     hps_abs0, hps_lin0 = camera.half_pixel_size_coeffs()
     state = init_state(origin, direction, time, pixel, sample_idx, in_range)
     state = trace(data, static, settings, tables, state, hps_abs0, hps_lin0)
@@ -162,7 +173,8 @@ def render_frame(data: SceneData, static: SceneStatic,
                  checkpoint_path: Optional[str] = None,
                  checkpoint_every: int = 4,
                  progress: Optional[callable] = None,
-                 sync_every: int = 4) -> film_mod.Film:
+                 sync_every: int = 4,
+                 mesh=None) -> film_mod.Film:
     """Render a full frame, splitting the (pixel, sample) grid into
     HBM-sized passes. Default frame timing matches reference
     src/main.rs:47-62: frame f covers [f/frame_rate, f/frame_rate +
@@ -172,9 +184,25 @@ def render_frame(data: SceneData, static: SceneStatic,
     `checkpoint_every` passes and an interrupted render resumes where it
     stopped (preemptible rendering, SURVEY.md §5). `progress(done, total)`
     is called after every pass (the analog of the reference's per-tile
-    progress bar, src/film.rs:636)."""
+    progress bar, src/film.rs:636).
+
+    With `mesh` set (a jax.sharding.Mesh), every pass is dealt across
+    the mesh's devices with the film psum-merged over ICI
+    (parallel.sharding.render_pass_sharded); checkpointing, retries,
+    progress and the bounded async queue behave identically because the
+    merged film is replicated — a preempted multi-chip render resumes
+    from the same .npz a single-chip one would.
+
+    Progressive spp: re-running with a HIGHER settings.spp against an
+    existing checkpoint renders only the missing per-pixel sample
+    indices [spp_done, spp) and accumulates them onto the saved film
+    (the samplers are counter-based in (pixel, sample_idx), so the
+    result equals a flat spp render up to f32 film-accumulation order).
+    A checkpoint that already holds >= spp samples is returned as-is —
+    extra samples only sharpen the estimate."""
+    import dataclasses
+
     w, h = settings.resolution
-    total = w * h * settings.spp
     if time_range is None:
         start = frame / frame_rate
         time_range = (start, start + shutter_speed)
@@ -182,41 +210,92 @@ def render_frame(data: SceneData, static: SceneStatic,
     filt = filter or filter_ops.blackman_harris(1.5)
     fis_table = filter_ops.build_fis_table(filt, settings.filter_table_size)
 
-    pass_size = min(settings.rays_per_pass, total)
-    n_passes = -(-total // pass_size)
+    def seg_passes(spp_seg: int) -> tuple[int, int]:
+        """(pass_size, n_passes) for a [*, *+spp_seg) sample segment."""
+        seg_total = w * h * spp_seg
+        if mesh is None:
+            return min(settings.rays_per_pass, seg_total), \
+                -(-seg_total // min(settings.rays_per_pass, seg_total))
+        n_dev = mesh.devices.size
+        per_dev = min(settings.rays_per_pass, -(-seg_total // n_dev))
+        return per_dev * n_dev, -(-seg_total // (per_dev * n_dev))
+
+    # Segment plan: (spp_base, spp_target, start_pass). Fresh render =
+    # one segment [0, spp); a resumed render first finishes the
+    # checkpoint's in-flight segment, then (if spp grew) appends the
+    # extension segment [ckpt_spp, spp).
     film = film_mod.new_film(w * h)
-    start_pass = 0
+    segments: list[tuple[int, int, int]] = [(0, settings.spp, 0)]
     if checkpoint_path:
         from rayn_tpu.render import checkpoint as ckpt
-        resumed = ckpt.load(checkpoint_path, settings, frame, scene=data,
-                            camera=camera, fis_table=fis_table,
-                            time_range=time_range)
-        if resumed is not None:
-            film, start_pass = resumed
+        prog = ckpt.load_progress(checkpoint_path, settings, frame,
+                                  scene=data, camera=camera,
+                                  fis_table=fis_table,
+                                  time_range=time_range)
+        if prog is not None:
+            film = prog.film
+            segments = []
+            n_seg = seg_passes(prog.spp - prog.spp_base)[1]
+            if prog.next_pass < n_seg:
+                segments.append((prog.spp_base, prog.spp, prog.next_pass))
+            if prog.spp < settings.spp:
+                segments.append((prog.spp, settings.spp, 0))
+
     t0 = jnp.float32(time_range[0])
     t1 = jnp.float32(time_range[1])
     sync_every = max(1, sync_every)
-    for p in range(start_pass, n_passes):
-        film = render_pass(film, data, static, settings, tables, camera,
-                           fis_table, jnp.int32(p * pass_size), pass_size,
-                           t0, t1)
-        if _FAIL_HOOK is not None:
-            _FAIL_HOOK(p)
-        # Bounded async queue: a scalar-readback sync costs a ~44 ms
-        # tunnel roundtrip under axon, but letting donated-film passes
-        # queue ~90 deep measured ~5x slower per pass. Syncing every few
-        # passes keeps the queue shallow (measured safe and ~4% faster
-        # than per-pass at sync_every=4) — and a checkpoint save always
-        # syncs via its host transfer.
-        want_ckpt = checkpoint_path and ((p + 1) % checkpoint_every == 0
-                                         or p + 1 == n_passes)
-        if (p + 1) % sync_every == 0 or p + 1 == n_passes or want_ckpt:
-            float(film.samples[-1])
-        if progress is not None:
-            progress(min((p + 1) * pass_size, total), total)
-        if want_ckpt:
-            from rayn_tpu.render import checkpoint as ckpt
-            ckpt.save(checkpoint_path, film, settings, frame, p + 1,
-                      scene=data, camera=camera, fis_table=fis_table,
-                      time_range=time_range)
+    grand_total = w * h * max(settings.spp,
+                              segments[-1][1] if segments else 0)
+    if segments:
+        sb0, st0, p00 = segments[0]
+        done = w * h * sb0 + min(p00 * seg_passes(st0 - sb0)[0],
+                                 w * h * (st0 - sb0))
+    else:
+        done = grand_total
+
+    for sb, st, start_pass in segments:
+        spp_seg = st - sb
+        seg_settings = dataclasses.replace(settings, spp=spp_seg)
+        pass_size, n_passes = seg_passes(spp_seg)
+        if mesh is not None:
+            from rayn_tpu.parallel import sharding as _sharding
+            per_dev = pass_size // mesh.devices.size
+
+            @jax.jit
+            def _sharded_pass(film, data, tables, camera, fis_table,
+                              pass_start, t0, t1,
+                              _s=seg_settings, _pd=per_dev, _base=sb):
+                return _sharding.render_pass_sharded(
+                    mesh, film, data, static, _s, tables, camera,
+                    fis_table, pass_start, _pd, t0, t1, sample_base=_base)
+
+        for p in range(start_pass, n_passes):
+            if mesh is None:
+                film = render_pass(film, data, static, seg_settings,
+                                   tables, camera, fis_table,
+                                   jnp.int32(p * pass_size), pass_size,
+                                   t0, t1, sample_base=sb)
+            else:
+                film = _sharded_pass(film, data, tables, camera, fis_table,
+                                     jnp.int32(p * pass_size), t0, t1)
+            if _FAIL_HOOK is not None:
+                _FAIL_HOOK(p)
+            # Bounded async queue: a scalar-readback sync costs a ~44 ms
+            # tunnel roundtrip under axon, but letting donated-film
+            # passes queue ~90 deep measured ~5x slower per pass.
+            # Syncing every few passes keeps the queue shallow (measured
+            # safe and ~4% faster than per-pass at sync_every=4) — and a
+            # checkpoint save always syncs via its host transfer.
+            want_ckpt = checkpoint_path and (
+                (p + 1) % checkpoint_every == 0 or p + 1 == n_passes)
+            if (p + 1) % sync_every == 0 or p + 1 == n_passes or want_ckpt:
+                float(film.samples[-1])
+            done = min(done + pass_size, grand_total)
+            if progress is not None:
+                progress(done, grand_total)
+            if want_ckpt:
+                from rayn_tpu.render import checkpoint as ckpt
+                ckpt.save(checkpoint_path, film, settings, frame, p + 1,
+                          scene=data, camera=camera, fis_table=fis_table,
+                          time_range=time_range, spp_base=sb, spp=st)
     return film

@@ -56,6 +56,87 @@ class TestCheckpoint:
         assert checkpoint.load(path, s, frame=1, scene=data_a, camera=cam_a,
                                time_range=(0.0, 2.0 / 24.0)) is None
 
+    def test_progressive_spp_growth(self, tmp_path):
+        """Re-running with a higher spp against an existing checkpoint
+        renders ONLY the missing per-pixel sample indices and produces
+        the same film as a flat high-spp render (f32 accumulation order
+        aside) — the reference's progressive_epoch scaffolding realized
+        (src/film.rs:178)."""
+        import dataclasses
+        s2 = dataclasses.replace(small(), spp=2)
+        s4 = dataclasses.replace(small(), spp=4)
+        data, static, cam = presets.spheres_scene(resolution=(16, 12))
+        path = str(tmp_path / "ck.npz")
+
+        renderer.render_frame(data, static, s2, cam, frame=1,
+                              checkpoint_path=path, checkpoint_every=1)
+
+        passes = []
+        grown = renderer.render_frame(
+            data, static, s4, cam, frame=1, checkpoint_path=path,
+            checkpoint_every=1,
+            progress=lambda done, total: passes.append((done, total)))
+        # total work = 16*12*4 = 768 rays; the grow run rendered only
+        # the extension segment (384 rays = 3 passes at 128/pass),
+        # resuming its progress at the checkpointed half
+        assert passes[0][0] > 384 and passes[-1] == (768, 768)
+        assert len(passes) == 3
+
+        ref = renderer.render_frame(data, static, s4, cam, frame=1)
+        np.testing.assert_array_equal(np.asarray(grown.samples),
+                                      np.asarray(ref.samples))
+        np.testing.assert_allclose(np.asarray(grown.color),
+                                   np.asarray(ref.color), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(grown.normal),
+                                   np.asarray(ref.normal), atol=1e-5)
+
+    def test_progressive_growth_interrupted_midway(self, tmp_path):
+        """A grow run killed inside the extension segment resumes inside
+        that segment (not from sample 0) and still converges to the flat
+        render."""
+        import dataclasses
+        s2 = dataclasses.replace(small(), spp=2)
+        s4 = dataclasses.replace(small(), spp=4)
+        data, static, cam = presets.spheres_scene(resolution=(16, 12))
+        path = str(tmp_path / "ck.npz")
+        renderer.render_frame(data, static, s2, cam, frame=1,
+                              checkpoint_path=path, checkpoint_every=1)
+
+        calls = {"n": 0}
+
+        def bomb(p):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("injected preemption")
+
+        renderer._FAIL_HOOK = bomb
+        try:
+            film = renderer.render_frame_resilient(
+                data, static, s4, cam, frame=1, retries=1,
+                checkpoint_path=path, checkpoint_every=1)
+        finally:
+            renderer._FAIL_HOOK = None
+        ref = renderer.render_frame(data, static, s4, cam, frame=1)
+        np.testing.assert_array_equal(np.asarray(film.samples),
+                                      np.asarray(ref.samples))
+        np.testing.assert_allclose(np.asarray(film.color),
+                                   np.asarray(ref.color), atol=1e-5)
+
+    def test_shrunk_spp_returns_richer_film(self, tmp_path):
+        """A checkpoint holding MORE samples than requested is returned
+        as-is (extra samples only sharpen the estimate)."""
+        import dataclasses
+        s4 = dataclasses.replace(small(), spp=4)
+        s2 = dataclasses.replace(small(), spp=2)
+        data, static, cam = presets.spheres_scene(resolution=(16, 12))
+        path = str(tmp_path / "ck.npz")
+        ref = renderer.render_frame(data, static, s4, cam, frame=1,
+                                    checkpoint_path=path)
+        got = renderer.render_frame(data, static, s2, cam, frame=1,
+                                    checkpoint_path=path)
+        np.testing.assert_array_equal(np.asarray(got.samples),
+                                      np.asarray(ref.samples))
+
     def test_resume_produces_identical_film(self, tmp_path):
         s = small()
         data, static, cam = presets.spheres_scene(resolution=s.resolution)

@@ -99,3 +99,121 @@ def test_sharded_fractal_smoke():
                                       mesh=mesh), s.resolution)
     assert np.isfinite(got.color).all()
     assert got.alpha.mean() > 0.05
+
+
+def test_sharded_checkpoint_kill_resume(tmp_path):
+    """Multi-chip preemption recovery (round-3 verdict item 5): a sharded
+    render killed mid-frame via the fault hook is retried by
+    render_frame_resilient, resumes at the last persisted pass ON THE
+    MESH, and produces the bit-exact film of an uninterrupted sharded
+    render (the psum-merged film is replicated, so the single-chip
+    checkpoint format applies unchanged)."""
+    import dataclasses
+    # 768 total rays; per_dev=24 over 8 devices -> 192/pass -> 4 passes
+    s = dataclasses.replace(settings(), rays_per_pass=24)
+    data, static, cam = presets.spheres_scene(resolution=s.resolution)
+    mesh = sharding.make_mesh()
+    ref = sharding.render_frame_sharded(data, static, s, cam, frame=1,
+                                        mesh=mesh)
+
+    calls = {"n": 0, "resumed_at": None}
+
+    def bomb(p):
+        calls["n"] += 1
+        if calls["n"] == 2:  # die after completing pass index 1
+            raise RuntimeError("injected preemption")
+        if calls["n"] == 3:
+            calls["resumed_at"] = p
+
+    path = str(tmp_path / "ck.npz")
+    renderer._FAIL_HOOK = bomb
+    try:
+        film = renderer.render_frame_resilient(
+            data, static, s, cam, frame=1, retries=1, mesh=mesh,
+            checkpoint_path=path, checkpoint_every=1)
+    finally:
+        renderer._FAIL_HOOK = None
+
+    assert calls["resumed_at"] == 1, calls
+    np.testing.assert_array_equal(np.asarray(film.samples),
+                                  np.asarray(ref.samples))
+    np.testing.assert_array_equal(np.asarray(film.color),
+                                  np.asarray(ref.color))
+
+
+def test_frames_per_chip_checkpoint_skip_and_resume(tmp_path):
+    """Frame-farm elastic recovery: finished frames are persisted per
+    frame and skipped on restart; the restart renders only the missing
+    frames and the full result matches the sequential path."""
+    s = settings()
+    data, static, cam = presets.spheres_scene(resolution=s.resolution)
+    ckdir = str(tmp_path / "farm")
+    frames = list(range(1, 11))  # 10 frames over 8 devices -> 8 + 2
+
+    boom = {"chunks": 0}
+
+    def die_after_first_chunk(done, total):
+        boom["chunks"] += 1
+        if boom["chunks"] == 1:
+            raise KeyboardInterrupt
+
+    try:
+        sharding.render_frames_per_chip(
+            data, static, s, cam, frames, checkpoint_dir=ckdir,
+            progress=die_after_first_chunk)
+        raised = False
+    except KeyboardInterrupt:
+        raised = True
+    assert raised
+
+    progressed = []
+    films = sharding.render_frames_per_chip(
+        data, static, s, cam, frames, checkpoint_dir=ckdir,
+        progress=lambda done, total: progressed.append((done, total)))
+    # first chunk (8 frames) was resumed from disk: only 1 chunk left
+    assert progressed == [(10, 10)]
+    ref = renderer.render_frame(data, static, s, cam, frame=10)
+    np.testing.assert_array_equal(np.asarray(films[-1].color),
+                                  np.asarray(ref.color))
+
+
+def test_fused_kernels_under_shard_map(monkeypatch):
+    """Round-3 verdict item 4: exercise the FUSED Pallas path (interpret
+    mode) under shard_map on the 8-device mesh — the code path a real
+    multi-chip slice would run — and require equality with the
+    single-device fused render (same rays, psum reduction order only)."""
+    import jax.numpy as jnp
+    from rayn_tpu.ops import filters as filter_ops
+    from rayn_tpu.ops import intersect_pallas, shade_pallas
+    from rayn_tpu.utils import rng
+
+    monkeypatch.setattr(shade_pallas, "INTERPRET", True)
+    monkeypatch.setattr(intersect_pallas, "INTERPRET", True)
+
+    s = settings()
+    data, static, cam = presets.default_scene(resolution=s.resolution)
+    prog = static.sdf_program(data)
+    assert shade_pallas.fused_ok(s, static, data, prog)
+    assert intersect_pallas.fused_intersect_ok(s, static, data, prog)
+
+    tables = rng.build_sample_tables(s, frame=1)
+    fis = filter_ops.build_fis_table(filter_ops.blackman_harris(1.5),
+                                     s.filter_table_size)
+    w, h = s.resolution
+    rays = w * h * s.spp
+    mesh = sharding.make_mesh()
+    per_dev = rays // mesh.devices.size
+    t0, t1 = jnp.float32(1 / 24), jnp.float32(2 / 24)
+
+    film = sharding.render_pass_sharded(
+        mesh, film_mod.new_film(w * h), data, static, s, tables, cam, fis,
+        jnp.int32(0), per_dev, t0, t1)
+    ref = renderer.render_pass(
+        film_mod.new_film(w * h), data, static, s, tables, cam, fis,
+        jnp.int32(0), rays, t0, t1)
+    np.testing.assert_array_equal(np.asarray(film.samples),
+                                  np.asarray(ref.samples))
+    np.testing.assert_allclose(np.asarray(film.color),
+                               np.asarray(ref.color), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(film.normal),
+                               np.asarray(ref.normal), atol=2e-5)

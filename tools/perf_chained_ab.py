@@ -7,6 +7,12 @@ production defaults otherwise), at 512x512 and at the official 1080p
 shape. Predicted from captured queues: 1.58-1.73x fewer shadow-march
 block iterations (tools/perf_chained_predict.py), ~25% one-hot refresh
 overhead => expected ~1.2-1.4x end-to-end on the march-bound fractal.
+
+The cost-sorted legs are opt-in via --include-sorted: the round-3
+40/28-column variadic-sort implementation was compile-pathological on
+v5e (45-min DNF; see BASELINE.md round-3 A/B). Round 4's packed-gather
+rework compiles fine — tools/perf_sorted_ab.py / perf_sorted_decomp.py
+are the focused drivers for it.
 """
 
 import argparse

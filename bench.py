@@ -280,17 +280,45 @@ def main():
         if not settings.chained_shadow_march:
             raise
         import dataclasses
-        print(f"# WARNING: chained shadow march failed on this backend "
-              f"({type(e).__name__}: {e}); falling back to sequential "
-              f"scheduling", file=sys.stderr)
-        settings = dataclasses.replace(settings,
-                                       chained_shadow_march=False,
-                                       sorted_shadow_march=False)
-        film = film_mod.new_film(n_pixels)
-        film = renderer.render_pass(film, data, static, settings, tables,
-                                    camera, fis, jnp.int32(0),
-                                    rays_per_pass, t0c, t1c)
-        sync(film)
+        if settings.sorted_shadow_march:
+            # Drop the cost-sort first (it adds the sort/permute program
+            # on top of the chained kernels); keep chained scheduling.
+            print(f"# WARNING: cost-sorted scheduling failed on this "
+                  f"backend ({type(e).__name__}: {e}); retrying with "
+                  f"chained-only scheduling", file=sys.stderr)
+            settings = dataclasses.replace(settings,
+                                           sorted_shadow_march=False)
+            try:
+                film = film_mod.new_film(n_pixels)
+                film = renderer.render_pass(film, data, static, settings,
+                                            tables, camera, fis,
+                                            jnp.int32(0), rays_per_pass,
+                                            t0c, t1c)
+                sync(film)
+            except Exception as e2:
+                print(f"# WARNING: chained shadow march failed on this "
+                      f"backend ({type(e2).__name__}: {e2}); falling "
+                      f"back to sequential scheduling", file=sys.stderr)
+                settings = dataclasses.replace(
+                    settings, chained_shadow_march=False)
+                film = film_mod.new_film(n_pixels)
+                film = renderer.render_pass(film, data, static, settings,
+                                            tables, camera, fis,
+                                            jnp.int32(0), rays_per_pass,
+                                            t0c, t1c)
+                sync(film)
+        else:
+            print(f"# WARNING: chained shadow march failed on this "
+                  f"backend ({type(e).__name__}: {e}); falling back to "
+                  f"sequential scheduling", file=sys.stderr)
+            settings = dataclasses.replace(settings,
+                                           chained_shadow_march=False,
+                                           sorted_shadow_march=False)
+            film = film_mod.new_film(n_pixels)
+            film = renderer.render_pass(film, data, static, settings,
+                                        tables, camera, fis, jnp.int32(0),
+                                        rays_per_pass, t0c, t1c)
+            sync(film)
     compile_s = time.perf_counter() - t_compile
 
     # Per-pass sync: besides making the timing trustworthy, letting

@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--channels", nargs="+",
                    default=("alpha", "normal", "color"),
                    choices=("color", "alpha", "normal", "background"))
+    p.add_argument("--aov", action="append", default=[],
+                   choices=("depth", "position", "albedo", "mat_id"),
+                   help="extra AOV channels (render/aovs.py registry), "
+                        "accumulated at depth 0 and saved alongside "
+                        "--channels")
     p.add_argument("--transparent-background", action="store_true")
     p.add_argument("--checkpoint", default=None,
                    help="checkpoint file for preemptible rendering")
@@ -143,7 +148,8 @@ def main(argv=None) -> int:
         march_relaxation=args.relax,
         shadow_bv_clip=not args.no_shadow_bv_clip,
         shadow_de_iterations=args.shadow_de_iterations,
-        chained_shadow_march=not args.no_chained_shadow)
+        chained_shadow_march=not args.no_chained_shadow,
+        extra_aovs=tuple(args.aov))
 
     if args.scene == "fractal":
         data, static, camera = presets.default_scene(
@@ -189,10 +195,10 @@ def main(argv=None) -> int:
         print(f"\nFrame {frame}: done in {secs:.2f}s "
               f"({n_samples / secs / 1e6:.3f} Msamples/s)",
               file=sys.stderr)
-        resolved = film_mod.resolve(film, res)
+        resolved = film_mod.resolve(film, res, settings)
         paths = film_mod.save_channels(
             resolved, args.out, f"frame{frame:04d}_{args.spp}spp",
-            args.channels,
+            tuple(args.channels) + tuple(args.aov),
             transparent_background=args.transparent_background)
         for p in paths:
             print(f"Saved {p}", file=sys.stderr)

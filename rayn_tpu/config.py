@@ -43,6 +43,14 @@ class RenderSettings:
     # (src/setup.rs:33, src/film.rs:556).
     world_radius: float = 100.0
 
+    # Extra AOV channels beyond the reference's fixed four
+    # (Color/Alpha/Background/WorldNormal) — names from
+    # render/aovs.py AOV_SPECS ("depth", "position", "albedo",
+    # "mat_id"), accumulated at depth 0 for receiving lanes (the
+    # reference's macro-generated channel system, src/film.rs:25-120,
+    # re-expressed as a registry instead of five-file edits).
+    extra_aovs: tuple = ()
+
     # SDF level-of-detail scale (src/setup.rs:37).
     sdf_detail_scale: float = 0.5
 
@@ -150,23 +158,47 @@ class RenderSettings:
     # the unfused batched occlusion call.
     chained_shadow_march: bool = True
 
-    # Payload-sort the wavefront by a per-ray chained-march cost key
-    # before the fused bounce tail at depths >= 1 (and unsort after).
-    # The key (shade_pallas.shadow_sort_key) prices each ray's 12
-    # shadow segments at length / first-DE-step — ~1% of the march it
+    # Advance lanes between chained segments only every this many march
+    # iterations (1 = every iteration). The one-hot segment-register
+    # refresh is the chained march's per-iteration tax (~50% of a
+    # 12-iteration MandelBox DE measured end-to-end, round-4); grouping
+    # runs it under a lax.cond at 1/G the frequency. Resolved lanes idle
+    # <= G-1 iterations before starting their next segment — per-segment
+    # step sequences and verdicts stay bit-identical (tests) — and a
+    # block whose unresolved lanes are ALL waiting refreshes
+    # immediately, so straggler tails pay no idle. Hardware sweeps
+    # 2026-08-19: captured-queue kernels G=8 +14.5% over G=1
+    # (tools/perf_chained_group.py); full 512x512 fractal pass
+    # G=1/4/8 -> 664/624/626 ms with cost-sort ON
+    # (tools/perf_group_pass_ab.py) — G=4 ships.
+    chained_advance_group: int = 4
+
+    # Sort the wavefront by a per-ray chained-march cost key before the
+    # fused bounce tail at depths >= 1 (and unsort after). The key
+    # (shade_pallas.shadow_sort_key) prices each ray's 12 shadow
+    # segments at length / first-DE-step — ~1% of the march it
     # schedules — and the sort packs expensive rays into the same
-    # Pallas blocks, cutting the chained march's block iterations a
-    # modeled further 1.5-2.2x at bounces >= 1
-    # (tools/perf_chained_predict.py, sortkey md/t0). Per-ray results
-    # are bit-identical: sorting changes block membership only, and the
-    # bounce output is unsorted back to pixel-major order before the
-    # film splat. Costs 40/28 payload columns of XLA sort + the key
-    # kernel per bounce. Default OFF: the sorted pass program is
-    # compile-PATHOLOGICAL on v5e (did not finish compiling in 45 min
-    # vs 2-4 min unsorted, 2026-08-18 A/B; BASELINE.md round-3) — the
-    # modeled 1.5-2.2x shadow-loop win is unreachable until an XLA
-    # release compiles the per-bounce sort chain in reasonable time.
-    sorted_shadow_march: bool = False
+    # Pallas blocks, cutting the chained march's block iterations
+    # (modeled 1.5-2.2x at per-LANE granularity,
+    # tools/perf_chained_predict.py). Per-ray results are bit-identical:
+    # sorting changes block membership only, and the bounce output is
+    # unsorted back to pixel-major order before the film splat.
+    # Round-3's per-lane 40/28-column variadic sort was
+    # compile-pathological (45-min DNF) AND gather-bound (95 ms/M,
+    # tools/perf_sorted_decomp.py); the shipped form permutes CHUNKS of
+    # adjacent pixel-coherent lanes by summed key — compiles in minutes
+    # and the permutation is sub-ms. Hardware A/B 2026-08-18
+    # (tools/perf_sorted_ab.py + perf_sorted_chunk_sweep.py): 705 ->
+    # 659 ms per 1M-ray fractal pass (+6.7%); chunk sweep 2048/512/128/
+    # 32 -> 673/659/660/682 ms (auto=512 optimal). Default ON; costs
+    # ~+1 min of one-time compile on the sorted pass program.
+    sorted_shadow_march: bool = True
+
+    # Lanes per cost-sort unit. 0 = auto (largest of 512/128/8 dividing
+    # the pass size — see integrator._sort_chunk). Finer chunks pack
+    # blocks better but dilute pixel coherence inside a Pallas block;
+    # per-lane granularity is gather-bound (see sorted_shadow_march).
+    sorted_chunk: int = 0
 
     # Two-phase occlusion march: phase 1 marches the whole shadow queue
     # this many steps, then the unresolved stragglers are stable-

@@ -8,8 +8,8 @@ sphere as one [N, K] broadcast plus a single SDF march, and "binning by
 material" is replaced by masked gathers from the material table — no
 repacking required on TPU.
 
-Object-id convention: 0..K-1 = spheres (in scene order), K = the traced
-SDF, -1 = miss.
+Object-id convention: 0..K-1 = spheres (in scene order), K+i = traced
+SDF instance i (in add_sdf order), -1 = miss.
 """
 
 from __future__ import annotations
@@ -82,33 +82,38 @@ def closest_hit(data: SceneData, static: SceneStatic,
 
     if static.has_sdf:
         detail = settings.sdf_detail_scale
-        prog = static.sdf_program(data)
         import functools
-        if (_pallas_ok(settings, prog) and settings.march_sort_steps > 0
-                and settings.march_relaxation == 1.0):
-            def march_fn(*a, relax=1.0, **kw):
-                del relax  # sorted kernel is plain marching only (routed)
-                return march_pallas.march_sorted(
-                    *a, phase1_steps=settings.march_sort_steps,
-                    block_rows=settings.pallas_block_rows, **kw)
-        elif _pallas_ok(settings, prog):
-            march_fn = functools.partial(
-                march_pallas.march, block_rows=settings.pallas_block_rows)
-        else:
-            march_fn = march_ops.march
-        # March with the sphere-closest as t_max: same fold semantics as
-        # the reference (src/hitable.rs:177-198) but saves march steps.
-        t_sdf = march_fn(
-            prog, origin, direction, best_t,
-            eps_const=5e-5 * detail,
-            eps_abs=0.05 * detail * hps_abs,
-            eps_lin=0.05 * detail * hps_lin,
-            max_steps=settings.max_marches,
-            active=active,
-            relax=settings.march_relaxation)
-        closer = t_sdf < best_t
-        best_t = jnp.where(closer, t_sdf, best_t)
-        best_obj = jnp.where(closer, jnp.int32(static.n_spheres), best_obj)
+        # Fold over every SDF instance keeping the per-lane closest —
+        # the reference's HitableStore fold (src/hitable.rs:170-210).
+        # Marching each instance with the running closest as t_max keeps
+        # the fold semantics while saving march steps.
+        for i, (prog, _mat, _bv) in enumerate(static.sdf_instances(data)):
+            if (_pallas_ok(settings, prog)
+                    and settings.march_sort_steps > 0
+                    and settings.march_relaxation == 1.0):
+                def march_fn(*a, relax=1.0, **kw):
+                    del relax  # sorted kernel is plain marching (routed)
+                    return march_pallas.march_sorted(
+                        *a, phase1_steps=settings.march_sort_steps,
+                        block_rows=settings.pallas_block_rows, **kw)
+            elif _pallas_ok(settings, prog):
+                march_fn = functools.partial(
+                    march_pallas.march,
+                    block_rows=settings.pallas_block_rows)
+            else:
+                march_fn = march_ops.march
+            t_sdf = march_fn(
+                prog, origin, direction, best_t,
+                eps_const=5e-5 * detail,
+                eps_abs=0.05 * detail * hps_abs,
+                eps_lin=0.05 * detail * hps_lin,
+                max_steps=settings.max_marches,
+                active=active,
+                relax=settings.march_relaxation)
+            closer = t_sdf < best_t
+            best_t = jnp.where(closer, t_sdf, best_t)
+            best_obj = jnp.where(closer, jnp.int32(static.n_spheres + i),
+                                 best_obj)
 
     valid = active & (best_obj >= 0)
     return Hit(best_t, best_obj, valid)
@@ -139,57 +144,64 @@ def test_occluded(data: SceneData, static: SceneStatic,
         # Shadow-march cost reduction (BASELINE.md round-3 study):
         # truncated-iteration DE, scaled epsilons, bounding-volume clip —
         # identical in the fused kernel (shade_pallas.shadow_radiance).
-        prog = static.sdf_program(data).reduced(
-            settings.shadow_de_iterations)
+        # Product-fold across every SDF instance (src/hitable.rs:163-168).
         detail = settings.sdf_detail_scale * settings.shadow_eps_scale
-        bv_r = (float(static.sdf_bound_radius)
-                if settings.shadow_bv_clip else 0.0)
         import functools
-        if (settings.use_pallas_occlusion and _pallas_ok(settings, prog)
-                and settings.occl_sort_steps > 0
-                and settings.march_relaxation == 1.0):
-            # study path; no bounding-volume clip implemented here
-            occl_fn = functools.partial(
-                march_pallas.march_occlusion_sorted,
-                phase1_steps=settings.occl_sort_steps,
-                block_rows=settings.pallas_occl_block_rows)
-        elif (settings.use_pallas_occlusion and _pallas_ok(settings, prog)
-                and settings.occl_phase1_steps > 0
-                and settings.march_relaxation == 1.0):
-            # study path; no bounding-volume clip implemented here
-            occl_fn = functools.partial(
-                march_pallas.march_occlusion_phased,
-                phase1_steps=settings.occl_phase1_steps,
-                block_rows=settings.pallas_occl_block_rows)
-        elif settings.use_pallas_occlusion and _pallas_ok(settings, prog):
-            if (1 < segments <= 30 and settings.chained_shadow_march
-                    and settings.march_relaxation == 1.0
-                    and start.shape[0] % segments == 0):
-                k, nseg = segments, start.shape[0] // segments
-                m_act = active & jnp.logical_not(occluded)
-                occ_sdf = march_pallas.march_occlusion_chained(
-                    prog, start.reshape(k, nseg, 3),
-                    end.reshape(k, nseg, 3), detail,
-                    settings.max_vis_marches,
-                    m_act.reshape(k, nseg),
+        for prog, _mat, inst_bv in static.sdf_instances(data):
+            prog = prog.reduced(settings.shadow_de_iterations)
+            bv_r = float(inst_bv) if settings.shadow_bv_clip else 0.0
+            if (settings.use_pallas_occlusion
+                    and _pallas_ok(settings, prog)
+                    and settings.occl_sort_steps > 0
+                    and settings.march_relaxation == 1.0):
+                # study path; no bounding-volume clip implemented here
+                occl_fn = functools.partial(
+                    march_pallas.march_occlusion_sorted,
+                    phase1_steps=settings.occl_sort_steps,
+                    block_rows=settings.pallas_occl_block_rows)
+            elif (settings.use_pallas_occlusion
+                    and _pallas_ok(settings, prog)
+                    and settings.occl_phase1_steps > 0
+                    and settings.march_relaxation == 1.0):
+                # study path; no bounding-volume clip implemented here
+                occl_fn = functools.partial(
+                    march_pallas.march_occlusion_phased,
+                    phase1_steps=settings.occl_phase1_steps,
+                    block_rows=settings.pallas_occl_block_rows)
+            elif settings.use_pallas_occlusion and _pallas_ok(settings,
+                                                              prog):
+                if (1 < segments <= 30 and settings.chained_shadow_march
+                        and settings.march_relaxation == 1.0
+                        and start.shape[0] % segments == 0):
+                    k, nseg = segments, start.shape[0] // segments
+                    m_act = active & jnp.logical_not(occluded)
+                    occ_sdf = march_pallas.march_occlusion_chained(
+                        prog, start.reshape(k, nseg, 3),
+                        end.reshape(k, nseg, 3), detail,
+                        settings.max_vis_marches,
+                        m_act.reshape(k, nseg),
+                        block_rows=settings.pallas_occl_block_rows,
+                        bound_radius=bv_r,
+                        advance_group=max(
+                            1, settings.chained_advance_group)
+                    ).reshape(-1)
+                    occluded = occluded | occ_sdf
+                    continue
+                occl_fn = functools.partial(
+                    march_pallas.march_occlusion,
                     block_rows=settings.pallas_occl_block_rows,
-                    bound_radius=bv_r).reshape(-1)
-                return jnp.where(occluded | occ_sdf, 0.0, 1.0)
-            occl_fn = functools.partial(
-                march_pallas.march_occlusion,
-                block_rows=settings.pallas_occl_block_rows,
-                relax=settings.march_relaxation,
-                bound_radius=bv_r)
-        else:
-            occl_fn = functools.partial(
-                march_ops.march_occlusion,
-                relax=settings.march_relaxation,
-                bound_radius=bv_r)
-        occ_sdf = occl_fn(
-            prog, start, end, detail,
-            settings.max_vis_marches,
-            active=active & jnp.logical_not(occluded))
-        occluded = occluded | occ_sdf
+                    relax=settings.march_relaxation,
+                    bound_radius=bv_r)
+            else:
+                occl_fn = functools.partial(
+                    march_ops.march_occlusion,
+                    relax=settings.march_relaxation,
+                    bound_radius=bv_r)
+            occ_sdf = occl_fn(
+                prog, start, end, detail,
+                settings.max_vis_marches,
+                active=active & jnp.logical_not(occluded))
+            occluded = occluded | occ_sdf
     return jnp.where(occluded, 0.0, 1.0)
 
 
@@ -224,12 +236,13 @@ def shading_info(data: SceneData, static: SceneStatic,
 
     if static.has_sdf:
         detail = settings.sdf_detail_scale
-        prog = static.sdf_program(data)
         hps = jnp.maximum(1e-4, detail * (hps_abs + hps_lin * hit.t))
-        is_sdf = hit.obj == static.n_spheres
-        sdf_n = sdf_ops.tetrahedral_normal(prog, point, hps)
-        normal = jnp.where(is_sdf[:, None], sdf_n, normal)
-        offset_by = jnp.where(is_sdf, hps, offset_by)
-        mat = jnp.where(is_sdf, jnp.int32(static.sdf_mat), mat)
+        for i, (prog, inst_mat, _bv) in enumerate(
+                static.sdf_instances(data)):
+            is_sdf = hit.obj == static.n_spheres + i
+            sdf_n = sdf_ops.tetrahedral_normal(prog, point, hps)
+            normal = jnp.where(is_sdf[:, None], sdf_n, normal)
+            offset_by = jnp.where(is_sdf, hps, offset_by)
+            mat = jnp.where(is_sdf, jnp.int32(inst_mat), mat)
 
     return ShadingInfo(point, normal, offset_by, mat)

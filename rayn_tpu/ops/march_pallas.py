@@ -820,7 +820,7 @@ def march_occlusion(prog: SdfProgram, start, end, detail_scale: float,
 
 
 def _chained_occl_core(fn_c, prm, max_steps, eps_c, eps_l, bound_radius,
-                       segs):
+                       segs, group: int = 1):
     """March each lane's K shadow segments back-to-back in ONE while loop.
 
     The sequential scheme (K separate `_occl_kernel`/`_sdf_occluded`
@@ -836,9 +836,21 @@ def _chained_occl_core(fn_c, prm, max_steps, eps_c, eps_l, bound_radius,
 
     which the captured in-situ shadow queues put at 1.58-1.73x fewer
     block steps (tools/perf_chained_predict.py; straggler segments do
-    not pile onto the same ray). The price is the per-iteration one-hot
-    refresh of the lane's current-segment registers (8 values x K
-    selects), ~25% of a 12-iteration MandelBox DE.
+    not pile onto the same ray). The price is the one-hot refresh of
+    advancing lanes' segment registers (7 values + t, K-1 selects each)
+    — measured round-4 at ~50% of a 12-iteration MandelBox DE when run
+    every iteration, which is why round 3's 1.67x iteration win
+    wall-clocked at only +7%.
+
+    `group` > 1 amortizes that tax: resolved lanes mark themselves
+    pending and the refresh runs under a `lax.cond` only every `group`
+    iterations (or immediately when EVERY unresolved lane is pending,
+    so straggler tails never idle). A pending lane's t/steps freeze, so
+    its per-segment step sequence is untouched — it just starts its
+    next segment up to group-1 iterations later. Entry-resolved lanes
+    (inactive | NaN first DE | clip miss) are folded into the end
+    register (md = -inf, t0 sanitized to 0) instead of a carried nan
+    register, saving one select chain per refresh.
 
     Per-segment semantics are exactly `march.march_occlusion` relax=1
     (reference src/sdf.rs:25-57) including the bounding-volume clip:
@@ -853,66 +865,93 @@ def _chained_occl_core(fn_c, prm, max_steps, eps_c, eps_l, bound_radius,
     """
     K = len(segs)
     assert 1 <= K <= 30, K
-    SX, SY, SZ, DX, DY, DZ, MD, T0, NAN = ([] for _ in range(9))
+    assert group >= 1, group
+    SX, SY, SZ, DX, DY, DZ, MD, T0 = ([] for _ in range(8))
     for (sx, sy, sz, ex, ey, ez, act) in segs:
         dx, dy, dz, md, t0, nan, _d0, _bv = _segment_entry(
             fn_c, prm, bound_radius, sx, sy, sz, ex, ey, ez, act)
         SX.append(sx), SY.append(sy), SZ.append(sz)
         DX.append(dx), DY.append(dy), DZ.append(dz)
-        MD.append(md), T0.append(t0), NAN.append(nan.astype(jnp.int32))
+        # entry-resolved lanes resolve via `t > md` at their first
+        # iteration; t0 is sanitized so a NaN first DE cannot poison
+        # the comparison (NaN > -inf is False).
+        MD.append(jnp.where(nan, -jnp.inf, md))
+        T0.append(jnp.where(nan, 0.0, t0))
 
     def cond(state):
         g, seg = state[0], state[1]
-        return jnp.logical_and(g < K * max_steps,
+        return jnp.logical_and(g < K * (max_steps + group),
                                jnp.logical_not(jnp.all(seg >= K)))
 
     def body(state):
-        (g, seg, stp, bits, t,
-         csx, csy, csz, cdx, cdy, cdz, cmd, cnan) = state
-        gt_nan = (t > cmd) | (cnan != 0)
+        (g, seg, stp, bits, pend, t,
+         csx, csy, csz, cdx, cdy, cdz, cmd) = state
+        pending = pend != 0
+        live = seg < K
+        gt_end = t > cmd
         dist = fn_c(prm, csx + t * cdx, csy + t * cdy, csz + t * cdz)
         hit = jnp.abs(dist) < jnp.maximum(eps_c, eps_l * t)
-        done = hit | gt_nan
+        done = hit | gt_end
         stp1 = stp + 1
-        live = seg < K
-        adv = (done | (stp1 >= max_steps)) & live
-        verd = hit & jnp.logical_not(gt_nan) & adv
-        t = jnp.where(done, t, t + dist)
-        m = [seg == k for k in range(K)]
-        for k in range(K):
-            bits = bits + jnp.where(verd & m[k], jnp.int32(1 << k), 0)
-        seg = jnp.where(adv, seg + 1, seg)
-        stp = jnp.where(adv, 0, stp1)
-        # refresh the advancing lanes' segment registers (k-1 -> k)
-        for k in range(1, K):
-            upd = adv & m[k - 1]
-            csx = jnp.where(upd, SX[k], csx)
-            csy = jnp.where(upd, SY[k], csy)
-            csz = jnp.where(upd, SZ[k], csz)
-            cdx = jnp.where(upd, DX[k], cdx)
-            cdy = jnp.where(upd, DY[k], cdy)
-            cdz = jnp.where(upd, DZ[k], cdz)
-            cmd = jnp.where(upd, MD[k], cmd)
-            cnan = jnp.where(upd, NAN[k], cnan)
-            t = jnp.where(upd, T0[k], t)
-        return (g + 1, seg, stp, bits, t,
-                csx, csy, csz, cdx, cdy, cdz, cmd, cnan)
+        newly = ((done | (stp1 >= max_steps)) & live
+                 & jnp.logical_not(pending))
+        # verdict recorded at resolution time (identical to recording
+        # at advance time: frozen lanes recompute the same hit/gt_end)
+        verd = hit & jnp.logical_not(gt_end) & newly
+        bits = bits | jnp.where(verd,
+                                jnp.left_shift(jnp.int32(1), seg), 0)
+        t = jnp.where(done | pending, t, t + dist)
+        stp = jnp.where(pending, stp, stp1)
+        pend = pend | newly.astype(jnp.int32)
+        waiting = pend != 0
+        any_pend = jnp.any(waiting)
+        if group == 1:
+            do_refresh = any_pend
+        else:
+            boundary = jnp.logical_or(
+                (g + 1) % group == 0,
+                jnp.all(waiting | jnp.logical_not(live)))
+            do_refresh = jnp.logical_and(any_pend, boundary)
 
-    zero_i = jnp.zeros_like(NAN[0])
-    state = (jnp.int32(0), zero_i, zero_i, zero_i, T0[0],
-             SX[0], SY[0], SZ[0], DX[0], DY[0], DZ[0], MD[0], NAN[0])
+        def refresh(ops):
+            seg, stp, pend, t, csx, csy, csz, cdx, cdy, cdz, cmd = ops
+            advm = pend != 0
+            for k in range(1, K):
+                upd = advm & (seg == k - 1)
+                csx = jnp.where(upd, SX[k], csx)
+                csy = jnp.where(upd, SY[k], csy)
+                csz = jnp.where(upd, SZ[k], csz)
+                cdx = jnp.where(upd, DX[k], cdx)
+                cdy = jnp.where(upd, DY[k], cdy)
+                cdz = jnp.where(upd, DZ[k], cdz)
+                cmd = jnp.where(upd, MD[k], cmd)
+                t = jnp.where(upd, T0[k], t)
+            seg = jnp.where(advm, seg + 1, seg)
+            stp = jnp.where(advm, 0, stp)
+            return (seg, stp, jnp.zeros_like(pend), t,
+                    csx, csy, csz, cdx, cdy, cdz, cmd)
+
+        ops = (seg, stp, pend, t, csx, csy, csz, cdx, cdy, cdz, cmd)
+        (seg, stp, pend, t, csx, csy, csz, cdx, cdy, cdz,
+         cmd) = jax.lax.cond(do_refresh, refresh, lambda o: o, ops)
+        return (g + 1, seg, stp, bits, pend, t,
+                csx, csy, csz, cdx, cdy, cdz, cmd)
+
+    zero_i = jnp.zeros(SX[0].shape, jnp.int32)
+    state = (jnp.int32(0), zero_i, zero_i, zero_i, zero_i, T0[0],
+             SX[0], SY[0], SZ[0], DX[0], DY[0], DZ[0], MD[0])
     bits = jax.lax.while_loop(cond, body, state)[3]
     return [(bits & jnp.int32(1 << k)) != 0 for k in range(K)]
 
 
 def _occl_chained_kernel(fn_c, treedef, n_leaves, K, max_steps, eps_c,
-                         eps_l, bound_radius, params_ref,
+                         eps_l, bound_radius, group, params_ref,
                          sx, sy, sz, ex, ey, ez, act, out):
     prm = _unflatten_params(params_ref, treedef, n_leaves)
     segs = [(sx[k], sy[k], sz[k], ex[k], ey[k], ez[k], act[k] != 0)
             for k in range(K)]
     occ = _chained_occl_core(fn_c, prm, max_steps, eps_c, eps_l,
-                             bound_radius, segs)
+                             bound_radius, segs, group=group)
     for k in range(K):
         out[k] = occ[k].astype(jnp.int32)
 
@@ -921,7 +960,8 @@ def march_occlusion_chained(prog: SdfProgram, start, end,
                             detail_scale: float, max_steps: int, active,
                             block_rows: int = DEFAULT_BLOCK_ROWS,
                             interpret: bool = False,
-                            bound_radius: float = 0.0):
+                            bound_radius: float = 0.0,
+                            advance_group: int = 1):
     """Occlusion march over K segments per ray, chained per lane (see
     `_chained_occl_core`). start/end are [K, N, 3], active [K, N];
     returns occluded bool [K, N], bit-identical per segment to
@@ -947,7 +987,7 @@ def march_occlusion_chained(prog: SdfProgram, start, end,
     kernel = functools.partial(_occl_chained_kernel, prog.fn_c, treedef,
                                n_leaves, K, max_steps,
                                1e-4 * detail_scale, 1e-5 * detail_scale,
-                               bound_radius)
+                               bound_radius, advance_group)
     out = pl.pallas_call(
         kernel,
         grid=(grid,),

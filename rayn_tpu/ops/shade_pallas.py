@@ -88,6 +88,9 @@ def _eligibility_reason(settings, static, data, prog) -> str | None:
     fused_ok and fused_intersect_ok); None = eligible."""
     if settings.march_relaxation != 1.0:
         return "march_relaxation != 1.0 (relaxed march carries extra state)"
+    if static.extra_sdfs:
+        return ("scene has multiple SDF instances (the fused kernels "
+                "host one; the unfused path folds across all)")
     if static.has_sdf:
         if prog is None or prog.fn_c is None:
             return "SDF program has no component-form fn_c"
@@ -794,7 +797,7 @@ def _shadow_delta(cfg, consts, frame_u32, sets, lights, spheres, v,
 
     if use_chained and seg_list:
         occl = _chained_occl_core(fn_c, prm, max_steps, eps_c, eps_l,
-                                  bv_r, seg_list)
+                                  bv_r, seg_list, group=chained)
         for (kr, kg, kb, m_act), occ in zip(pend, occl):
             vis = (m_act & jnp.logical_not(occ)).astype(jnp.float32)
             rad_r = rad_r + kr * vis
@@ -1523,7 +1526,8 @@ def bounce_tail_fused(data, static, settings, tables, depth: int,
         (NL / L / VM) if (L and VM) else 0.0,
         bv_r,
         bool(s.mis), bool(s.compat_spec_reflect),
-        TL, TS, bool(s.chained_shadow_march),
+        TL, TS,
+        max(1, int(s.chained_advance_group)) if s.chained_shadow_march else 0,
     )
     finish_cfg = (s.sampler, s.num_1d_sets,
                   (s.compat_spec_reflect, s.compat_spec_phi),
@@ -1696,7 +1700,8 @@ def shadow_radiance(data, static, settings, tables, depth: int,
         (NL / L / VM) if (L and VM) else 0.0,
         bv_r,
         bool(s.mis), bool(s.compat_spec_reflect),
-        TL, TS, bool(s.chained_shadow_march),
+        TL, TS,
+        max(1, int(s.chained_advance_group)) if s.chained_shadow_march else 0,
     )
     set_ids = (
         [rng_mod.set1d_light_pick(s, depth, i) for i in range(L)]
@@ -1802,7 +1807,8 @@ def shadow_sort_key(data, static, settings, tables, depth: int,
         (NL / L / VM) if (L and VM) else 0.0,
         bv_r,
         bool(s.mis), bool(s.compat_spec_reflect),
-        TL, TS, bool(s.chained_shadow_march),
+        TL, TS,
+        max(1, int(s.chained_advance_group)) if s.chained_shadow_march else 0,
     )
     set_ids = (
         [rng_mod.set1d_light_pick(s, depth, i) for i in range(L)]

@@ -66,7 +66,7 @@ def render_pass_sharded(mesh: Mesh, film, data, static,
                + jax.lax.axis_index("spp"))
         start = pass_start + dev.astype(jnp.int32) * per_device
         local = renderer.render_pass(
-            film_mod.new_film(film.color.shape[0]), data, static, settings,
+            film_mod.new_film(film.color.shape[0], settings), data, static, settings,
             tables, camera, fis_table, start, per_device, t0, t1,
             sample_base=sample_base)
         summed = jax.tree.map(
@@ -158,7 +158,7 @@ def render_frames_per_chip(data, static, settings: RenderSettings, camera,
 
         def local_frames(data, tables, camera, fis_table, t0, t1):
             local_tables = jax.tree.map(lambda x: x[0], tables)
-            film = film_mod.new_film(w * h)
+            film = film_mod.new_film(w * h, settings)
             for p in range(n_passes):
                 film = renderer.render_pass(
                     film, data, static, settings, local_tables, camera,

@@ -85,6 +85,9 @@ def save(path: str, film: film_mod.Film, settings: RenderSettings,
         color=np.asarray(film.color), alpha=np.asarray(film.alpha),
         background=np.asarray(film.background),
         normal=np.asarray(film.normal), samples=np.asarray(film.samples),
+        # extra AOV accumulators by position; settings.extra_aovs is in
+        # the fingerprint, so a load always sees matching arrays
+        **{f"extra{i}": np.asarray(a) for i, a in enumerate(film.extra)},
         next_pass=np.int64(next_pass),
         spp_base=np.int64(spp_base),
         spp=np.int64(settings.spp if spp is None else spp),
@@ -109,11 +112,15 @@ def load_progress(path: str, settings: RenderSettings, frame: int,
         if fp != _fingerprint(settings, frame, scene, camera, fis_table,
                               time_range):
             return None
+        extra = []
+        while f"extra{len(extra)}" in z:
+            extra.append(jnp.asarray(z[f"extra{len(extra)}"]))
         film = film_mod.Film(
             color=jnp.asarray(z["color"]), alpha=jnp.asarray(z["alpha"]),
             background=jnp.asarray(z["background"]),
             normal=jnp.asarray(z["normal"]),
-            samples=jnp.asarray(z["samples"]))
+            samples=jnp.asarray(z["samples"]),
+            extra=tuple(extra))
         return Progress(film, int(z["spp_base"]), int(z["spp"]),
                         int(z["next_pass"]))
 

@@ -28,20 +28,30 @@ class Film(NamedTuple):
     background: jnp.ndarray  # [P, 3] sum of depth-0 escaped radiance
     normal: jnp.ndarray      # [P, 3] sum of depth-0 world normals
     samples: jnp.ndarray     # [P]    per-pixel sample counts
+    # optional extra AOV accumulators (render/aovs.py registry), in
+    # RenderSettings.extra_aovs order — [P] or [P, 3] each
+    extra: tuple = ()
 
 
-def new_film(n_pixels: int) -> Film:
+def new_film(n_pixels: int, settings=None) -> Film:
+    extra = ()
+    if settings is not None and settings.extra_aovs:
+        from rayn_tpu.render.aovs import specs_for
+        extra = tuple(
+            jnp.zeros((n_pixels,) if s.dim == 1 else (n_pixels, 3),
+                      jnp.float32) for s in specs_for(settings))
     return Film(
         color=jnp.zeros((n_pixels, 3), jnp.float32),
         alpha=jnp.zeros((n_pixels,), jnp.float32),
         background=jnp.zeros((n_pixels, 3), jnp.float32),
         normal=jnp.zeros((n_pixels, 3), jnp.float32),
         samples=jnp.zeros((n_pixels,), jnp.float32),
+        extra=extra,
     )
 
 
 def splat(film: Film, pixel: jnp.ndarray, color, alpha, background, normal,
-          count) -> Film:
+          count, extra: tuple = ()) -> Film:
     """Scatter-add one pass's per-ray channel contributions.
 
     pixel: [N] int32 flat pixel ids; channel args are per-ray values
@@ -53,11 +63,14 @@ def splat(film: Film, pixel: jnp.ndarray, color, alpha, background, normal,
         background=film.background.at[pixel].add(background),
         normal=film.normal.at[pixel].add(normal),
         samples=film.samples.at[pixel].add(count),
+        extra=tuple(acc.at[pixel].add(v)
+                    for acc, v in zip(film.extra, extra)),
     )
 
 
 def splat_aligned(film: Film, pixel0: jnp.ndarray, color, alpha,
-                  background, normal, count, spp: int) -> Film:
+                  background, normal, count, spp: int,
+                  extra: tuple = ()) -> Film:
     """Pass-aligned splat: when a pass covers whole pixels in pixel-major
     order (ray i's pixel is pixel0 + i // spp), the scatter-add becomes a
     reshape-sum over the spp axis plus one dynamic-slice add per channel.
@@ -87,6 +100,8 @@ def splat_aligned(film: Film, pixel0: jnp.ndarray, color, alpha,
         background=add(film.background, background, True),
         normal=add(film.normal, normal, True),
         samples=add(film.samples, count, False),
+        extra=tuple(add(acc, v, v.ndim == 2)
+                    for acc, v in zip(film.extra, extra)),
     )
 
 
@@ -97,16 +112,32 @@ class ResolvedFilm(NamedTuple):
     alpha: np.ndarray
     background: np.ndarray
     normal: np.ndarray
+    # {name: [H, W(,3)]} means of the configured extra AOVs
+    extra: dict = {}
 
 
-def resolve(film: Film, resolution: tuple[int, int]) -> ResolvedFilm:
+def resolve(film: Film, resolution: tuple[int, int],
+            settings=None) -> ResolvedFilm:
     w, h = resolution
     cnt = np.maximum(np.asarray(film.samples), 1e-8)[:, None]
+    extra = {}
+    if film.extra:
+        from rayn_tpu.render.aovs import specs_for
+        names = ([s.name for s in specs_for(settings)]
+                 if settings is not None
+                 else [f"aov{i}" for i in range(len(film.extra))])
+        for name, acc in zip(names, film.extra):
+            a = np.asarray(acc)
+            if a.ndim == 2:
+                extra[name] = (a / cnt).reshape(h, w, 3)
+            else:
+                extra[name] = (a / cnt[:, 0]).reshape(h, w)
     return ResolvedFilm(
         color=(np.asarray(film.color) / cnt).reshape(h, w, 3),
         alpha=(np.asarray(film.alpha) / cnt[:, 0]).reshape(h, w),
         background=(np.asarray(film.background) / cnt).reshape(h, w, 3),
         normal=(np.asarray(film.normal) / cnt).reshape(h, w, 3),
+        extra=extra,
     )
 
 
@@ -155,6 +186,14 @@ def save_channels(resolved: ResolvedFilm, output_folder, base_name: str,
             Image.fromarray(flip(_to_u8(rgb)), "RGB").save(path)
         elif kind == "alpha":
             Image.fromarray(flip(_to_u8(resolved.alpha)), "L").save(path)
+        elif kind in resolved.extra:
+            a = resolved.extra[kind]
+            if a.ndim == 3:  # vector AOV: clip to [0,1] RGB, no gamma
+                Image.fromarray(flip(_to_u8(np.clip(a, 0.0, 1.0))),
+                                "RGB").save(path)
+            else:  # scalar AOV: normalize by its max -> grayscale
+                mx = float(a.max()) or 1.0
+                Image.fromarray(flip(_to_u8(a / mx)), "L").save(path)
         else:
             raise ValueError(f"unknown channel {kind}")
         written.append(str(path))

@@ -63,6 +63,10 @@ class PathState(NamedTuple):
     bg_out: jnp.ndarray      # [N, 3]
     alpha_out: jnp.ndarray   # [N]
     normal_out: jnp.ndarray  # [N, 3]
+    # optional extra AOV values (render/aovs.py), written once at
+    # depth 0 like the reference's Alpha/WorldNormal
+    # (src/integrator.rs:161-169); in settings.extra_aovs order
+    aovs: tuple = ()
 
 
 def init_state(origin, direction, time, pixel, sample_idx, alive) -> PathState:
@@ -150,6 +154,15 @@ def _derive_shading(data: SceneData, static: SceneStatic,
     # Missing lanes die silently (the reference never bins them,
     # src/hitable.rs:203-209).
     mat = bsdf_ops.gather(data.materials, info.mat)
+    # per-shading-point material parameters (the reference's
+    # WShadingParamGenerator surface, src/material.rs:75-83): override
+    # color_a per lane. Flows through the fused kernels too — they take
+    # per-lane material parameters as inputs. Elementwise per lane, so
+    # re-derivation after cost-sorting stays bit-identical.
+    for mid, fn in static.mat_param_fns:
+        sel = info.mat == mid
+        mat = mat._replace(color_a=jnp.where(
+            sel[:, None], fn(info.point, info.normal), mat.color_a))
     receives = bsdf_ops.receives_light(mat) & live
     wo = -state.direction
     if static.has_extinction:
@@ -195,6 +208,13 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
     live, mat, receives, wo, vol_trans = _derive_shading(
         data, static, state, hit, info)
 
+    # Extra AOVs: depth-0 extraction, before the fused tail (the fused
+    # kernels rebuild PathState without aovs; re-attached after).
+    if depth == 0 and s.extra_aovs:
+        from rayn_tpu.render import aovs as aovs_mod
+        state = state._replace(
+            aovs=aovs_mod.extract(s, hit, info, mat, receives))
+
     # Fully fused bounce tail: shadow kernel (steps 3+4) + finish kernel
     # (steps 2 and 5-7, emission folded in). Same formulas/streams;
     # emission is added after the shadow delta instead of before (f32
@@ -211,7 +231,10 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
                    and static.n_lights > 0)
         unsort_iota = None
         if sort_on:
-            chunk = _sort_chunk(n)
+            chunk = s.sorted_chunk or _sort_chunk(n)
+            if n % chunk:
+                raise ValueError(
+                    f"sorted_chunk={chunk} must divide rays_per_pass={n}")
             vd0, _ = _equi_angular_samples(data, static, s, tables,
                                            state, hit, depth)
             cost = shade_pallas.shadow_sort_key(
@@ -232,6 +255,7 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
                 *_equi_angular_samples(data, static, s, tables, state,
                                        hit, depth),
                 block_rows=s.pallas_occl_block_rows)
+            out = out._replace(aovs=state.aovs)
             return _unsort_state(out, unsort_iota, chunk) if sort_on else out
         rad = state.radiance
         if static.n_lights > 0:
@@ -247,6 +271,7 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
         out = shade_pallas.finish_bounce_fused(
             data, static, s, tables, depth, state, hit, info, mat,
             live, receives, rad, block_rows=s.pallas_occl_block_rows)
+        out = out._replace(aovs=state.aovs)
         return _unsort_state(out, unsort_iota, chunk) if sort_on else out
 
     # 2. emission. With MIS, BSDF-hit emission of an emissive sphere
@@ -506,6 +531,7 @@ def _finish_bounce(data, static, s, tables, state, depth, hit, info, mat,
         bg_out=bg_out,
         alpha_out=alpha_out,
         normal_out=normal_out,
+        aovs=state.aovs,
     )
 
 

@@ -100,6 +100,10 @@ def render_pass(film: film_mod.Film, data: SceneData, static: SceneStatic,
     # cheaper on v5e. Out-of-range tail lanes carry zero contributions
     # either way (alive starts False for them), so the aligned path's
     # row addressing is safe.
+    if settings.extra_aovs and len(film.extra) != len(settings.extra_aovs):
+        raise ValueError(
+            "film was created without the configured extra AOVs — build "
+            "it with film.new_film(n_pixels, settings)")
     if not settings.compact_bounces and pass_size % settings.spp == 0:
         pixel0 = (pass_start // settings.spp).astype(jnp.int32)
         return film_mod.splat_aligned(
@@ -109,7 +113,8 @@ def render_pass(film: film_mod.Film, data: SceneData, static: SceneStatic,
             background=state.bg_out,
             normal=state.normal_out,
             count=in_range.astype(jnp.float32),
-            spp=settings.spp)
+            spp=settings.spp,
+            extra=state.aovs)
     # Fallback: channels splatted via the *state's* pixel ids (compaction
     # may have permuted lanes); the per-pixel sample count uses the
     # original order (every in-range ray counts once regardless of fate).
@@ -119,7 +124,8 @@ def render_pass(film: film_mod.Film, data: SceneData, static: SceneStatic,
         alpha=state.alpha_out,
         background=state.bg_out,
         normal=state.normal_out,
-        count=jnp.zeros_like(state.alpha_out))
+        count=jnp.zeros_like(state.alpha_out),
+        extra=state.aovs)
     return film._replace(
         samples=film.samples.at[pixel].add(in_range.astype(jnp.float32)))
 
@@ -224,7 +230,7 @@ def render_frame(data: SceneData, static: SceneStatic,
     # one segment [0, spp); a resumed render first finishes the
     # checkpoint's in-flight segment, then (if spp grew) appends the
     # extension segment [ckpt_spp, spp).
-    film = film_mod.new_film(w * h)
+    film = film_mod.new_film(w * h, settings)
     segments: list[tuple[int, int, int]] = [(0, settings.spp, 0)]
     if checkpoint_path:
         from rayn_tpu.render import checkpoint as ckpt

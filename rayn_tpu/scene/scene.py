@@ -65,6 +65,23 @@ class SceneData(NamedTuple):
     # light <-> emissive-sphere pairing for MIS (RenderSettings.mis):
     sphere_light: jnp.ndarray     # [K] int32 paired light id, -1 = none
     light_paired: jnp.ndarray     # [L] f32 1.0 if the light has a pair
+    # parameter pytrees of SDF instances beyond the first (SceneStatic
+    # .extra_sdfs carries their static halves, in the same order)
+    extra_sdf_params: Any = ()
+
+
+@dataclasses.dataclass(frozen=True)
+class SdfInstanceStatic:
+    """Static half of an SDF instance past the first (the first lives in
+    SceneStatic's sdf_* fields so the single-SDF fast paths stay
+    untouched). The reference's HitableStore holds any number of
+    TracedSDFs, each with its own material
+    (src/hitable.rs:143-161, fold :170-210)."""
+    fn: Callable
+    fn_c: Optional[Callable]
+    mat: int
+    reduce_fn: Optional[Callable] = None
+    bound_radius: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -86,11 +103,37 @@ class SceneStatic:
     # the SDF's {|DE| < eps} shell; 0.0 = unknown. Lets shadow marches
     # clip segments to the bounding volume (see ops/march.py occlusion).
     sdf_bound_radius: float = 0.0
+    # SDF instances beyond the first: tuple of SdfInstanceStatic, params
+    # in SceneData.extra_sdf_params. Non-empty tuples gate the fused
+    # single-SDF Pallas kernels off (unfused fold path, one-time
+    # warning); object ids follow the first SDF (n_spheres + 1 + i).
+    extra_sdfs: tuple = ()
+    # per-shading-point material parameters — the reference's
+    # WShadingParamGenerator surface (src/material.rs:75-83): tuple of
+    # (material id, fn(point [N,3], normal [N,3]) -> albedo [N,3]);
+    # the fn overrides that material's color_a at each shading point.
+    # Works through BOTH the unfused and fused paths (the fused kernels
+    # take per-lane material parameters as inputs).
+    mat_param_fns: tuple = ()
 
     def sdf_program(self, data: SceneData) -> SdfProgram:
         assert self.has_sdf
         return SdfProgram(self.sdf_fn, data.sdf_params, self.sdf_fn_c,
                           self.sdf_reduce_fn)
+
+    def sdf_instances(self, data: SceneData):
+        """All SDF instances as (SdfProgram, material id, bound radius)
+        in object-id order (obj = n_spheres + i) — the closest-hit /
+        occlusion fold domain (reference src/hitable.rs:170-210)."""
+        if not self.has_sdf:
+            return []
+        out = [(self.sdf_program(data), self.sdf_mat,
+                self.sdf_bound_radius)]
+        for inst, prm in zip(self.extra_sdfs, data.extra_sdf_params):
+            out.append((SdfProgram(inst.fn, prm, inst.fn_c,
+                                   inst.reduce_fn),
+                        inst.mat, inst.bound_radius))
+        return out
 
 
 def sphere_centers_at(data: SceneData, time: jnp.ndarray) -> jnp.ndarray:
@@ -144,6 +187,8 @@ class SceneBuilder:
         self._sdf: Optional[SdfProgram] = None
         self._sdf_mat: int = -1
         self._sdf_bound: float = 0.0
+        self._extra_sdfs: list[tuple[SdfProgram, int, float]] = []
+        self._mat_fns: dict[int, Callable] = {}
         self._sigma_s: Optional[float] = None
         self._sigma_t: Optional[float] = None
         self._pairs: dict[int, int] = {}  # sphere id -> light id
@@ -196,6 +241,16 @@ class SceneBuilder:
         """Path-terminating emitter (reference src/material.rs:451-520)."""
         return self._add_material(EMISSIVE, np.zeros(3), emission, 0.0)
 
+    def set_albedo_fn(self, material: int, fn: Callable) -> None:
+        """Make `material`'s albedo (color_a) vary per shading point —
+        the reference's generic `Material<G: WShadingParamGenerator>`
+        surface (src/material.rs:75-83, consumed by get_bsdf_at
+        :31-38). `fn(point [N,3], normal [N,3]) -> [N,3]` must be
+        jittable and elementwise per lane. Applies wherever the
+        material table's constant would be used (NEE eval, scatter,
+        sky/emissive color_a uses)."""
+        self._mat_fns[int(material)] = fn
+
     # --- hitables ----------------------------------------------------------
     def add_sphere(self, center, radius: float, material: int) -> int:
         """center: point, AnimChannel, or callable t->point (baked)."""
@@ -206,8 +261,10 @@ class SceneBuilder:
 
     def set_sdf(self, program: SdfProgram, material: int,
                 bound_radius: float = 0.0) -> None:
-        """Attach the (single) traced SDF (reference src/sdf.rs:12-21;
-        one TracedSDF in the default scene, src/setup.rs:78-86).
+        """Attach THE traced SDF, replacing any previously added ones
+        (reference src/sdf.rs:12-21; one TracedSDF in the default
+        scene, src/setup.rs:78-86). For several SDF instances use
+        `add_sdf`.
 
         bound_radius: optional origin-centered bounding-sphere radius
         that provably contains the SDF's hit shell ({|DE| < eps});
@@ -215,6 +272,23 @@ class SceneBuilder:
         self._sdf = program
         self._sdf_mat = int(material)
         self._sdf_bound = float(bound_radius)
+        self._extra_sdfs = []
+
+    def add_sdf(self, program: SdfProgram, material: int,
+                bound_radius: float = 0.0) -> int:
+        """Append a traced-SDF instance with its own material — the
+        reference's HitableStore holds any number of TracedSDFs
+        (src/hitable.rs:143-161); closest hit folds across all of them
+        (src/hitable.rs:170-210). Returns the instance's object id
+        offset (0 = first). The single-instance case runs the fused
+        Pallas fast paths; multi-instance scenes run the unfused fold
+        (a one-time warning notes the fallback)."""
+        if self._sdf is None:
+            self.set_sdf(program, material, bound_radius)
+            return 0
+        self._extra_sdfs.append(
+            (program, int(material), float(bound_radius)))
+        return len(self._extra_sdfs)
 
     # --- lights (reference src/light.rs:19-34) -----------------------------
     def add_sphere_light(self, pos, radius: float, emission) -> int:
@@ -295,6 +369,8 @@ class SceneBuilder:
             volume_sigma_t=jnp.float32(self._sigma_t or 0.0),
             sphere_light=jnp.asarray(sphere_light),
             light_paired=jnp.asarray(light_paired),
+            extra_sdf_params=tuple(p.params for p, _m, _b
+                                   in self._extra_sdfs),
         )
         static = SceneStatic(
             n_spheres=k,
@@ -308,5 +384,10 @@ class SceneBuilder:
             has_extinction=self._sigma_t is not None,
             sdf_reduce_fn=self._sdf.reduce_fn if self._sdf else None,
             sdf_bound_radius=self._sdf_bound,
+            extra_sdfs=tuple(
+                SdfInstanceStatic(fn=p.fn, fn_c=p.fn_c, mat=m,
+                                  reduce_fn=p.reduce_fn, bound_radius=b)
+                for p, m, b in self._extra_sdfs),
+            mat_param_fns=tuple(sorted(self._mat_fns.items())),
         )
         return data, static

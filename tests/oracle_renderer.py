@@ -99,7 +99,11 @@ class OracleScene:
     """Mirror of SceneData/SceneStatic: spheres, lights, materials, and
     (optionally) the MandelBox SDF — all marched scalar-style."""
 
-    def __init__(self, data, static, settings=None, sdf_iters=12):
+    def __init__(self, data, static, settings=None, sdf_iters=12,
+                 extra_oracle_sdfs=None, albedo_fns=None):
+        # per-shading-point albedo overrides (scalar twin of
+        # SceneStatic.mat_param_fns): {mat id: fn(p, n) -> rgb}
+        self.albedo_fns = dict(albedo_fns or {})
         # full knot grids so animated channels can be lerped at each
         # ray's time (set_time); knot 0 doubles as the static value
         self.center_knots = np.asarray(data.sphere_centers.values,
@@ -125,7 +129,19 @@ class OracleScene:
         self.sigma_s = float(data.volume_sigma_s) if static.has_scattering else None
         self.sigma_t = float(data.volume_sigma_t) if static.has_extinction else None
         self.has_sdf = static.has_sdf
-        if static.has_sdf:
+        # independent scalar (dist_fn, material) per SDF instance; the
+        # primary is assumed to be the MandelBox (derived from its
+        # params), further instances must be supplied by the test via
+        # extra_oracle_sdfs — the oracle cannot (and must not) evaluate
+        # the repo's own jax programs.
+        self.sdf_instances = []
+        n_inst = (1 + len(static.extra_sdfs)) if static.has_sdf else 0
+        if static.has_sdf and extra_oracle_sdfs is not None \
+                and len(extra_oracle_sdfs) == n_inst:
+            # full override: one (dist_fn, mat) per instance
+            self.sdf_instances = list(extra_oracle_sdfs)
+            self.dist_fn, self.sdf_mat = self.sdf_instances[0]
+        elif static.has_sdf:
             prm = data.sdf_params
             import numpy as _np
             scale = float(prm.scale)
@@ -137,6 +153,13 @@ class OracleScene:
             self.dist_fn = lambda p: oracle.mandelbox_dist(
                 p, iterations=self.sdf_iters, box_l=box_l,
                 min_rad=min_rad, fixed_rad=fixed_rad, scale=scale)
+            self.sdf_instances.append((self.dist_fn, static.sdf_mat))
+            if extra_oracle_sdfs:
+                assert len(extra_oracle_sdfs) == len(static.extra_sdfs)
+                self.sdf_instances.extend(extra_oracle_sdfs)
+            else:
+                assert not static.extra_sdfs, \
+                    "multi-SDF scene needs extra_oracle_sdfs"
         self.detail = settings.sdf_detail_scale if settings else 0.5
         self.max_marches = settings.max_marches if settings else 256
         self.max_vis = settings.max_vis_marches if settings else 100
@@ -152,19 +175,27 @@ class OracleScene:
     def sdf_obj_id(self):
         return len(self.radii)
 
+    def albedo(self, mat, p, n):
+        """color_a at a shading point — constant from the material
+        table, or the per-point override (mat_param_fns twin)."""
+        fn = self.albedo_fns.get(int(mat))
+        if fn is not None:
+            return np.asarray(fn(p, n), np.float64)
+        return self.color_a[mat]
+
     def closest_hit(self, o, d, t_max, hps_abs=0.0, hps_lin=0.0):
         best, idx = t_max, -1
         for k in range(len(self.radii)):
             t = oracle.sphere_hit(o, d, self.centers[k], self.radii[k], best)
             if t is not None and t < best:
                 best, idx = t, k
-        if self.has_sdf:
+        for i, (dist_fn, _mat) in enumerate(self.sdf_instances):
             t = oracle.sphere_march(
-                self.dist_fn, o, d, best, 5e-5 * self.detail,
+                dist_fn, o, d, best, 5e-5 * self.detail,
                 0.05 * self.detail * hps_abs, 0.05 * self.detail * hps_lin,
                 self.max_marches)
             if not np.isnan(t) and t < best:
-                best, idx = t, self.sdf_obj_id()
+                best, idx = t, self.sdf_obj_id() + i
         return best, idx
 
     def occluded(self, a, b):
@@ -182,19 +213,23 @@ class OracleScene:
             t1, t2 = -bq - sq, -bq + sq
             if min(t1, t2) > 1e-3 and t1 <= dist:
                 return True
-        if self.has_sdf and oracle.sphere_march_occluded(
-                self.dist_fn, a, b, self.detail, self.max_vis):
-            return True
+        for dist_fn, _mat in self.sdf_instances:
+            if oracle.sphere_march_occluded(
+                    dist_fn, a, b, self.detail, self.max_vis):
+                return True
         return False
 
 
 def render_oracle(data, static, settings, camera, frame, time_range,
-                  fis_table, sdf_iters=12):
+                  fis_table, sdf_iters=12, extra_oracle_sdfs=None,
+                  albedo_fns=None):
     """Returns dict of [H, W(,3)] mean images matching film.resolve."""
     from rayn_tpu.utils import rng as rng_mod
 
     w, h = settings.resolution
-    scene = OracleScene(data, static, settings, sdf_iters)
+    scene = OracleScene(data, static, settings, sdf_iters,
+                        extra_oracle_sdfs=extra_oracle_sdfs,
+                        albedo_fns=albedo_fns)
     sampler = OracleSampler(settings, frame, w * h)
 
     # pinhole camera parameters; animated channels are lerped at each
@@ -268,18 +303,21 @@ def render_oracle(data, static, settings, camera, frame, time_range,
                     if obj < 0:
                         break
                     p = o + t * d
-                    if scene.has_sdf and obj == scene.sdf_obj_id():
+                    if scene.has_sdf and obj >= scene.sdf_obj_id():
+                        inst_fn, inst_mat = scene.sdf_instances[
+                            obj - scene.sdf_obj_id()]
                         hl = hps_lin if depth == 0 else 2e-4 * depth
                         eps = max(1e-4, scene.detail * hl * t)
-                        n = oracle.tetrahedral_normal(scene.dist_fn, p, eps)
+                        n = oracle.tetrahedral_normal(inst_fn, p, eps)
                         offset_by = eps
-                        mat = scene.sdf_mat
+                        mat = inst_mat
                     else:
                         n = (p - scene.centers[obj])
                         n /= np.linalg.norm(n)
                         offset_by = 0.0
                         mat = scene.mats[obj]
                     kind = scene.kind[mat]
+                    c_a = scene.albedo(mat, p, n)
                     wo = -d
                     vol_trans = (np.exp(-scene.sigma_t * t)
                                  if scene.sigma_t is not None else 1.0)
@@ -287,7 +325,7 @@ def render_oracle(data, static, settings, camera, frame, time_range,
                     # emission
                     if kind == 2:  # sky
                         tt = 0.5 * (wo[1] + 1.0)
-                        le = (scene.color_a[mat] * (1 - tt)
+                        le = (c_a * (1 - tt)
                               + scene.color_b[mat] * tt)
                         radiance += le * tp * vol_trans
                     elif kind == 3:  # emissive
@@ -319,7 +357,7 @@ def render_oracle(data, static, settings, camera, frame, time_range,
                                 continue
                             # bsdf f
                             if kind == 0:
-                                f = scene.color_a[mat] / PI
+                                f = c_a / PI
                             elif kind == 5:
                                 continue  # refractive: no NEE (f = 0)
                             else:
@@ -330,12 +368,12 @@ def render_oracle(data, static, settings, camera, frame, time_range,
                                     scene.power[mat]
                                 spec = ca * (scene.power[mat] + 2) / (2 * PI)
                                 if kind == 4:  # metallic: colored Fresnel
-                                    a_c = scene.color_a[mat]
+                                    a_c = c_a
                                     fres_c = a_c + (1 - a_c) * (1 - ndl) ** 5
                                     f = fres_c * spec
                                 else:
                                     f = (spec * fr
-                                         + scene.color_a[mat] / PI * (1 - fr))
+                                         + c_a / PI * (1 - fr))
                             seg_tr = (np.exp(-scene.sigma_t * dist)
                                       if scene.sigma_t is not None else 1.0)
                             radiance += (scene.lights_e[li_idx] * f * ndl
@@ -401,7 +439,7 @@ def render_oracle(data, static, settings, camera, frame, time_range,
                     dbounce /= np.linalg.norm(dbounce)
                     lam_pdf = ds[2] / PI
                     if kind == 0:
-                        wi, f, pdf = dbounce, scene.color_a[mat] / PI, lam_pdf
+                        wi, f, pdf = dbounce, c_a / PI, lam_pdf
                     elif kind == 5:
                         # refractive: Fresnel-weighted reflect/refract,
                         # cosine lobe around the chosen axis, TIR fallback
@@ -429,7 +467,7 @@ def render_oracle(data, static, settings, camera, frame, time_range,
                         wi /= np.linalg.norm(wi)
                         pdf = max(rs[2] / PI, 1e-6)
                         colr = (np.ones(3) if take_reflect
-                                else scene.color_a[mat])
+                                else c_a)
                         ndl_r = max(abs(float(np.dot(wi, n))), 1e-6)
                         f = colr * (pdf / ndl_r)
                     else:
@@ -444,7 +482,7 @@ def render_oracle(data, static, settings, camera, frame, time_range,
                         scoeff = 0.0 if np.dot(n, sbounce) < 0 else \
                             (power + 2) / (2 * PI) * cap
                         if kind == 4:  # metallic: Phong only, colored Fresnel
-                            a_c = scene.color_a[mat]
+                            a_c = c_a
                             cosw = abs(float(np.dot(n, wo)))
                             fres_c = a_c + (1 - a_c) * (1 - cosw) ** 5
                             wi = sbounce
@@ -457,7 +495,7 @@ def render_oracle(data, static, settings, camera, frame, time_range,
                                 f = np.array([scoeff] * 3)
                             else:
                                 wi = dbounce
-                                f = scene.color_a[mat] / PI
+                                f = c_a / PI
                             pdf = fr * spdf + (1 - fr) * max(1e-5, lam_pdf)
                     ndl = abs(float(np.dot(wi, n)))
                     new_tp = tp * vol_trans * f * ndl / pdf

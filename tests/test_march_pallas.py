@@ -163,9 +163,10 @@ class TestMarchPallasInterpret:
                     prog, start[k], end[k], 0.5, cap, active=active[k],
                     bound_radius=bv))
                 for k in range(K)])
-            got = np.asarray(march_pallas.march_occlusion_chained(
-                prog, start, end, 0.5, cap, active, interpret=True,
-                bound_radius=bv))
-            np.testing.assert_array_equal(ref, got,
-                                          err_msg=f"K={K} n={n} cap={cap} "
-                                                  f"bv={bv}")
+            for group in (1, 4, 16):
+                got = np.asarray(march_pallas.march_occlusion_chained(
+                    prog, start, end, 0.5, cap, active, interpret=True,
+                    bound_radius=bv, advance_group=group))
+                np.testing.assert_array_equal(
+                    ref, got,
+                    err_msg=f"K={K} n={n} cap={cap} bv={bv} group={group}")

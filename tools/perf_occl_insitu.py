@@ -28,7 +28,14 @@ def capture_queues(n):
     from rayn_tpu.utils import rng
 
     res = (512, 512)
-    settings = RenderSettings(resolution=res, spp=128, rays_per_pass=n)
+    # fused kernels march shadows in-kernel and never reach
+    # intersect.test_occluded — capture through the unfused path (the
+    # segment queue passed there is the same geometry the fused kernel
+    # builds internally; identical sampler streams).
+    settings = RenderSettings(resolution=res, spp=128, rays_per_pass=n,
+                              use_fused_shadows=False,
+                              use_fused_finish=False,
+                              use_fused_bounce_tail=False)
     data, static, camera = presets.default_scene(resolution=res)
     tables = rng.build_sample_tables(settings, frame=1)
     fis = filter_ops.build_fis_table(filter_ops.blackman_harris(1.5),

@@ -113,6 +113,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "instead of chaining a ray's segments through "
                         "one (bit-identical either way; chained is the "
                         "faster default — see chained_shadow_march)")
+    p.add_argument("--no-sorted-shadow", action="store_true",
+                   help="disable the cost-sorted chunk scheduling of "
+                        "the chained shadow march (bit-identical "
+                        "either way; sorted is the faster default — "
+                        "see sorted_shadow_march)")
+    p.add_argument("--advance-group", type=int, default=None,
+                   help="chained-march advance grouping G (default: "
+                        "config chained_advance_group; 1 = refresh "
+                        "every iteration)")
     return p
 
 
@@ -149,7 +158,12 @@ def main(argv=None) -> int:
         shadow_bv_clip=not args.no_shadow_bv_clip,
         shadow_de_iterations=args.shadow_de_iterations,
         chained_shadow_march=not args.no_chained_shadow,
+        sorted_shadow_march=not args.no_sorted_shadow,
         extra_aovs=tuple(args.aov))
+    if args.advance_group is not None:
+        import dataclasses as _dc
+        settings = _dc.replace(settings,
+                               chained_advance_group=args.advance_group)
 
     if args.scene == "fractal":
         data, static, camera = presets.default_scene(

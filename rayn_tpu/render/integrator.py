@@ -88,8 +88,10 @@ def _sort_chunk(n: int) -> int:
     chunk-granular permutation runs at row-gather bandwidth — per-LANE
     permutation of the 49-column bounce state measured 95 ms/M on v5e
     (pack/interleave bound; tools/perf_sorted_decomp.py) and ate the
-    entire 206 ms/M scheduling win; 512-lane chunk gathers are sub-ms."""
-    for chunk in (512, 128, 8):
+    entire 206 ms/M scheduling win. 128 lanes (one Pallas row) measured
+    the sweep optimum: 618.7 vs 623.6 ms/pass at 512 with advance
+    grouping on (tools/perf_sorted_chunk_sweep.py, 2026-08-19)."""
+    for chunk in (128, 512, 8):
         if n % chunk == 0:
             return chunk
     return 1

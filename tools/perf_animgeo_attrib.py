@@ -75,3 +75,18 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def reduce_to_one_knot(data, which):
+    """Slice a channel family to its first knot (changes TL or TS to 1,
+    i.e. the compiled program shape) — isolates which family's in-kernel
+    per-lane lerp carries the multi-knot cost."""
+    from rayn_tpu.scene.animation import AnimChannel
+
+    def one(ch):
+        return AnimChannel(jnp.asarray(np.asarray(ch.values)[:, :1]),
+                           ch.t0, ch.t1)
+
+    if which == "lights":
+        return data._replace(light_pos=one(data.light_pos))
+    return data._replace(sphere_centers=one(data.sphere_centers))

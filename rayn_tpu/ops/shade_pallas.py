@@ -59,9 +59,12 @@ _F0 = 0.04
 # backend gate is bypassed). Set by tests only.
 INTERPRET = False
 
-# Max animation-channel knots the fused kernels can host in SMEM (each
-# knot costs 3 scalars per light/sphere plus a fused select per use; 8
+# Max SPHERE animation-channel knots the fused kernels host in SMEM
+# (each knot costs 3 scalars per sphere plus a fused select per use; 8
 # knots measured free on the spheres config — the march dominates).
+# Light channels have NO knot limit: animated light positions are
+# resolved outside the kernels (_site_light_positions) after the
+# in-kernel lerp measured +40% on whole passes (BASELINE.md round-4).
 MAX_SMEM_KNOTS = 8
 
 # De-duped eligibility-cliff warnings: silently dropping to the ~2x
@@ -97,8 +100,6 @@ def _eligibility_reason(settings, static, data, prog) -> str | None:
         if any(getattr(jnp.asarray(leaf), "shape", ()) != ()
                for leaf in jax.tree.leaves(prog.params)):
             return "SDF program has non-scalar parameter leaves"
-    if data.light_pos.values.shape[1] > MAX_SMEM_KNOTS:
-        return (f"light channels have > {MAX_SMEM_KNOTS} keyframe knots")
     if (static.n_spheres
             and data.sphere_centers.values.shape[1] > MAX_SMEM_KNOTS):
         return (f"sphere channels have > {MAX_SMEM_KNOTS} keyframe knots")
@@ -210,23 +211,33 @@ def _interp3(knots, i0, frac):
     return x, y, z
 
 
-def _pick_light(u, lights):
+def _pick_light(u, lights, pos=None):
     """One-hot select of (pos, rad, em, paired) over the per-light scalar
     tuples (SMEM loads). Mirrors integrator._pick_lights + _gather_lights
-    for constant channels."""
+    for constant channels.
+
+    pos: optional per-lane (x, y, z) refs of the PICKED light's position,
+    resolved outside the kernel (animated channels — the exact-u32
+    sampler makes the outside pick identical; _site_light_positions).
+    When given, positions bypass the one-hot entirely and load from
+    VMEM at the use site; the scalar tail (radius/emission/paired, never
+    animated) still selects from SMEM."""
     n_l = len(lights)
     idx = jnp.clip(jnp.floor(u * n_l).astype(jnp.int32), 0, n_l - 1)
     px = py = pz = rad = er = eg = eb = paired = 0.0
     for l, (lx, ly, lz, lr, lem_r, lem_g, lem_b, lpair) in enumerate(lights):
         m = (idx == l).astype(jnp.float32)
-        px = px + m * lx
-        py = py + m * ly
-        pz = pz + m * lz
+        if pos is None:
+            px = px + m * lx
+            py = py + m * ly
+            pz = pz + m * lz
         rad = rad + m * lr
         er = er + m * lem_r
         eg = eg + m * lem_g
         eb = eb + m * lem_b
         paired = paired + m * lpair
+    if pos is not None:
+        px, py, pz = pos[0][:], pos[1][:], pos[2][:]
     return px, py, pz, rad, er, eg, eb, paired
 
 
@@ -571,9 +582,17 @@ F32_EPS = 1.1920929e-07  # f32::EPSILON (reference src/material.rs:236)
 
 def _unpack_shadow_const(cfg, const_ref):
     """Decode the shadow SMEM const vector (layout documented at
-    shadow_radiance): SDF leaves, per-light (TL*3 pos knots, radius,
+    shadow_radiance): SDF leaves, per-light (knot-0 pos xyz, radius,
     emission rgb, paired flag), per-sphere (TS*3 center knots, radius),
-    (sigma_t, sigma_s), channel time ranges (lt0, lt1, st0, st1)."""
+    (sigma_t, sigma_s), channel time ranges (lt0, lt1, st0, st1).
+
+    Light positions carry only knot 0: animated (TL > 1) light
+    positions are resolved OUTSIDE the kernel at each lane's time and
+    arrive as per-site VMEM inputs (see _site_light_positions) — the
+    in-kernel per-lane knot lerp measured +40% on the whole animated
+    pass from register pressure alone (BASELINE.md round-4
+    attribution), while the resolved positions are an elementwise XLA
+    lerp fused into the pass for free."""
     (fn_c, treedef, n_leaves, sampler, num_1d_sets, L, VM, NL, K,
      has_ext, has_scat, eps_c, eps_l, max_steps,
      correction, vm_correction, bv_r, mis, compat_reflect,
@@ -581,15 +600,14 @@ def _unpack_shadow_const(cfg, const_ref):
     prm = (_unflatten_params(const_ref, treedef, n_leaves)
            if fn_c is not None else None)
     base = n_leaves
-    lstride = 3 * TL + 5
+    lstride = 3 + 5
     light_knots = tuple(
-        tuple(tuple(const_ref[0, base + l * lstride + 3 * j + c]
-                    for c in range(3)) for j in range(TL))
+        (tuple(const_ref[0, base + l * lstride + c] for c in range(3)),)
         for l in range(NL))
     light_tail = tuple(
-        tuple(const_ref[0, base + l * lstride + 3 * TL + j]
+        tuple(const_ref[0, base + l * lstride + 3 + j]
               for j in range(5)) for l in range(NL))
-    base = base + lstride * NL
+    base = base + lstride * NL  # lstride == 8: knot-0 xyz + 5 tail
     sstride = 3 * TS + 1
     sphere_knots = tuple(
         tuple(tuple(const_ref[0, base + k * sstride + 3 * j + c]
@@ -625,18 +643,16 @@ def _unpack_shadow_sets(cfg, frame_ref):
 
 def _scene_at_time(cfg, consts, tm):
     """(lights, spheres): per-light (x, y, z, rad, em rgb, paired) and
-    per-sphere (x, y, z, rad) tuples, with animated channels lerped at
-    each lane's time ONCE (reused by every NEE + volume sample). For
-    1-knot (constant) channels this collapses to the SMEM scalars."""
+    per-sphere (x, y, z, rad) tuples, with animated SPHERE channels
+    lerped at each lane's time ONCE (reused by every NEE + volume
+    sample). Light positions are always the knot-0 SMEM scalars here:
+    when TL > 1 they are dead values — _pick_light takes the per-site
+    externally-resolved position instead (see _site_light_positions) —
+    so Mosaic DCEs them and the kernel body is knot-free for lights."""
     NL, K, TL, TS = cfg[7], cfg[8], cfg[19], cfg[20]
     (_prm, light_knots, light_tail, sphere_knots, sphere_rad,
      _sig_t, _sig_s, (lt0, lt1, st0, st1)) = consts
-    if TL > 1:
-        li0, lfrac = _interp_weights(tm, lt0, lt1, TL)
-    lights = tuple(
-        _interp3(light_knots[l], li0, lfrac) + light_tail[l]
-        if TL > 1 else (light_knots[l][0] + light_tail[l])
-        for l in range(NL))
+    lights = tuple(light_knots[l][0] + light_tail[l] for l in range(NL))
     if TS > 1:
         si0, sfrac = _interp_weights(tm, st0, st1, TS)
     spheres = tuple(
@@ -647,11 +663,16 @@ def _scene_at_time(cfg, consts, tm):
 
 
 def _shadow_delta(cfg, consts, frame_u32, sets, lights, spheres, v,
-                  vd, vp):
+                  vd, vp, site_lp=None):
     """The per-bounce shadow pipeline (integrator steps 3 + 4) on loaded
     values `v`; returns the radiance delta (rad_r, rad_g, rad_b).
     Mirrors integrator.bounce exactly (reference src/integrator.rs:73-132,
-    :207-281); identical sampler streams."""
+    :207-281); identical sampler streams.
+
+    site_lp: when light channels are animated (TL > 1), the per-site
+    picked light positions resolved outside the kernel — L NEE triples
+    then VM*L volume triples of per-lane (x, y, z) refs, site order
+    matching the loops below."""
     (fn_c, _treedef, _n_leaves, sampler, num_1d_sets, L, VM, NL, K,
      has_ext, has_scat, eps_c, eps_l, max_steps,
      correction, vm_correction, bv_r, mis, compat_reflect,
@@ -692,7 +713,8 @@ def _shadow_delta(cfg, consts, frame_u32, sets, lights, spheres, v,
     # --- NEE surface samples (integrator step 3) ---
     for i in range(L):
         u_pick = _sample_1d(sampler, frame_u32, set_pick[i], sidx, pix)
-        lx, ly, lz, lrad, er, eg, eb, lpair = _pick_light(u_pick, lights)
+        lx, ly, lz, lrad, er, eg, eb, lpair = _pick_light(
+            u_pick, lights, site_lp[i] if site_lp else None)
         u1, u2 = _sample_2d(sampler, num_1d_sets, frame_u32, set_nee[i],
                             sidx, pix)
         ex, ey, ez, pdf = _sample_cone(u1, u2, lx, ly, lz, lrad,
@@ -755,7 +777,9 @@ def _shadow_delta(cfg, consts, frame_u32, sets, lights, spheres, v,
                 u_pick = _sample_1d(sampler, frame_u32, set_vol_pick[m][i],
                                     sidx, pix)
                 (lx, ly, lz, lrad, er, eg, eb,
-                 _lpair) = _pick_light(u_pick, lights)
+                 _lpair) = _pick_light(
+                    u_pick, lights,
+                    site_lp[L + m * L + i] if site_lp else None)
                 spx = o_x + vd[m][i] * d_x
                 spy = o_y + vd[m][i] * d_y
                 spz = o_z + vd[m][i] * d_z
@@ -819,7 +843,8 @@ def _segment_cost(fn_c, prm, max_steps, bv_r, sx, sy, sz, ex, ey, ez, act):
     return jnp.where(nan | (t0 > md), 1.0, est)
 
 
-def _shadow_cost_key(cfg, consts, frame_u32, sets, lights, v, vd):
+def _shadow_cost_key(cfg, consts, frame_u32, sets, lights, v, vd,
+                     site_lp=None):
     """Per-ray estimate of the CHAINED shadow march's iteration count:
     the sum of _segment_cost over the bounce's L NEE + VM*L volume
     segments, rebuilt with the same sampler streams / cone samples as
@@ -847,7 +872,8 @@ def _shadow_cost_key(cfg, consts, frame_u32, sets, lights, v, vd):
     key = jnp.zeros_like(p_x)
     for i in range(L):
         u_pick = _sample_1d(sampler, frame_u32, set_pick[i], sidx, pix)
-        lx, ly, lz, lrad, _er, _eg, _eb, _lp = _pick_light(u_pick, lights)
+        lx, ly, lz, lrad, _er, _eg, _eb, _lp = _pick_light(
+            u_pick, lights, site_lp[i] if site_lp else None)
         u1, u2 = _sample_2d(sampler, num_1d_sets, frame_u32, set_nee[i],
                             sidx, pix)
         ex, ey, ez, _pdf = _sample_cone(u1, u2, lx, ly, lz, lrad,
@@ -869,7 +895,9 @@ def _shadow_cost_key(cfg, consts, frame_u32, sets, lights, v, vd):
                 u_pick = _sample_1d(sampler, frame_u32,
                                     set_vol_pick[m][i], sidx, pix)
                 (lx, ly, lz, lrad, _er, _eg, _eb,
-                 _lp) = _pick_light(u_pick, lights)
+                 _lp) = _pick_light(
+                    u_pick, lights,
+                    site_lp[L + m * L + i] if site_lp else None)
                 spx = o_x + vd[m][i] * d_x
                 spy = o_y + vd[m][i] * d_y
                 spz = o_z + vd[m][i] * d_z
@@ -1073,13 +1101,18 @@ def _shadow_kernel(cfg, const_ref, frame_ref,
     volume 2d — all depth-dependent). Carrying them as runtime scalars
     keeps the Mosaic kernel identical across bounce depths, so XLA
     compiles ONE kernel per pass instead of max_bounces+1.
-    vol_args: VM*L pairs of (vol_dist, vol_pdf) refs (march-major, i.e.
-    (m0,i0),(m0,i1),... — precomputed outside because Mosaic lowers no
-    atan2) followed by the three radiance-delta output refs."""
-    L, VM = cfg[5], cfg[6]
+    vol_args: when TL > 1, 3*(L + VM*L) per-site resolved light-position
+    refs (x, y, z per site — _site_light_positions); then VM*L pairs of
+    (vol_dist, vol_pdf) refs (march-major, i.e. (m0,i0),(m0,i1),... —
+    precomputed outside because Mosaic lowers no atan2) followed by the
+    three radiance-delta output refs."""
+    L, VM, TL = cfg[5], cfg[6], cfg[19]
     consts = _unpack_shadow_const(cfg, const_ref)
     frame_u32, set_pick, set_nee, set_vol_pick, set_vol = \
         _unpack_shadow_sets(cfg, frame_ref)
+    S = (L + VM * L) if TL > 1 else 0
+    site_lp = [vol_args[3 * sI:3 * sI + 3] for sI in range(S)] or None
+    vol_args = vol_args[3 * S:]
 
     d_x, d_y, d_z = dx[:], dy[:], dz[:]
     tm = time_r[:]
@@ -1105,7 +1138,7 @@ def _shadow_kernel(cfg, const_ref, frame_ref,
     rad_r, rad_g, rad_b = _shadow_delta(
         cfg, consts, frame_u32,
         (set_pick, set_nee, set_vol_pick, set_vol),
-        lights, spheres, v, vd, vp)
+        lights, spheres, v, vd, vp, site_lp)
     out_r[:] = rad_r
     out_g[:] = rad_g
     out_b[:] = rad_b
@@ -1113,18 +1146,20 @@ def _shadow_kernel(cfg, const_ref, frame_ref,
 
 def _shadow_const_vector(data, static, params, n_leaves, NL, K):
     """SMEM shadow const vector (layout read by _unpack_shadow_const):
-    SDF leaves, per-light (TL*3 pos knots, radius, emission rgb, paired
+    SDF leaves, per-light (knot-0 pos xyz, radius, emission rgb, paired
     flag), per-sphere (TS*3 center knots, radius), (sigma_t, sigma_s),
-    channel time ranges. The kernel indexes lights at offset n_leaves,
-    so the zero-leaf dummy _flatten_params returns for an empty pytree
-    must NOT be included (n_leaves == 0 there).
-    Returns (flat f32 vector, TL, TS)."""
+    channel time ranges. Animated light positions (TL > 1) are resolved
+    outside the kernel (_site_light_positions) — only knot 0 is packed;
+    the kernel uses it solely for constant channels. The kernel indexes
+    lights at offset n_leaves, so the zero-leaf dummy _flatten_params
+    returns for an empty pytree must NOT be included (n_leaves == 0
+    there). Returns (flat f32 vector, TL, TS)."""
     TL = int(data.light_pos.values.shape[1]) if NL else 1
     TS = int(data.sphere_centers.values.shape[1]) if K else 1
     pieces = [params.reshape(-1)] if n_leaves else []
     if NL:
         pieces.append(jnp.concatenate([
-            data.light_pos.values.reshape(NL, 3 * TL),  # all pos knots
+            data.light_pos.values[:, 0, :],        # [NL, 3] knot 0
             data.light_radii[:, None],             # [NL, 1]
             data.light_emission,                   # [NL, 3]
             data.light_paired[:, None],            # [NL, 1] (MIS)
@@ -1149,18 +1184,56 @@ def _shadow_const_vector(data, static, params, n_leaves, NL, K):
     return jnp.concatenate(pieces), TL, TS
 
 
+def _site_light_positions(data, s, tables, depth, NL, L, VM,
+                          sample_idx, pixel, time):
+    """Per-site picked light positions, resolved OUTSIDE the kernels:
+    for each of the bounce's L NEE + VM*L volume sampling sites, replay
+    the site's light-pick stream (exact-u32 sampler arithmetic — the
+    in-kernel _sample_1d pick is bit-identical by construction, the
+    same property _equi_angular_samples already relies on) and lerp the
+    picked light's position at each lane's time with the shared
+    scene.light_position_of. Returns a list of [N, 3] arrays in site
+    order (NEE i, then volume (m, i) march-major).
+
+    This replaces the in-kernel per-lane knot lerp of EVERY light,
+    whose register footprint measured +40% on whole animated-geo passes
+    (BASELINE.md round-4 attribution); out here it is an elementwise
+    lerp XLA fuses into the pass. Motion-blur semantics: reference
+    src/animation.rs:40-76 / src/light.rs:13-23 (position sampled at
+    the ray's time)."""
+    from rayn_tpu.scene.scene import light_position_of
+    sites = []
+    for i in range(L):
+        u = rng_mod.sample_1d(s, tables, rng_mod.set1d_light_pick(
+            s, depth, i), sample_idx, pixel)
+        lidx = jnp.clip(jnp.floor(u * NL).astype(jnp.int32), 0, NL - 1)
+        sites.append(light_position_of(data, lidx, time))
+    for m in range(VM):
+        for i in range(L):
+            u = rng_mod.sample_1d(s, tables, rng_mod.set1d_vol_pick(
+                s, depth, m, i), sample_idx, pixel)
+            lidx = jnp.clip(jnp.floor(u * NL).astype(jnp.int32),
+                            0, NL - 1)
+            sites.append(light_position_of(data, lidx, time))
+    return sites
+
+
 def _shadow_key_kernel(cfg, const_ref, frame_ref,
                        px, py, pz, nx, ny, nz, offs,
                        ox, oy, oz, dx, dy, dz,
                        sample_idx, pixel, live, recv, time_r,
                        *vol_args):
     """Per-ray chained-march cost key (body: _shadow_cost_key).
-    vol_args: VM*L vol_dist refs (march-major) followed by the key
-    output ref."""
-    L, VM = cfg[5], cfg[6]
+    vol_args: when TL > 1, 3*(L + VM*L) per-site resolved light-position
+    refs first (_site_light_positions); then VM*L vol_dist refs
+    (march-major) followed by the key output ref."""
+    L, VM, TL = cfg[5], cfg[6], cfg[19]
     consts = _unpack_shadow_const(cfg, const_ref)
     frame_u32, set_pick, set_nee, set_vol_pick, set_vol = \
         _unpack_shadow_sets(cfg, frame_ref)
+    S = (L + VM * L) if TL > 1 else 0
+    site_lp = [vol_args[3 * sI:3 * sI + 3] for sI in range(S)] or None
+    vol_args = vol_args[3 * S:]
     d_x, d_y, d_z = dx[:], dy[:], dz[:]
     tm = time_r[:]
     v = dict(
@@ -1176,7 +1249,8 @@ def _shadow_key_kernel(cfg, const_ref, frame_ref,
     vd = [[vol_args[m * L + i][:] for i in range(L)] for m in range(VM)]
     out[:] = _shadow_cost_key(
         cfg, consts, frame_u32,
-        (set_pick, set_nee, set_vol_pick, set_vol), lights, v, vd)
+        (set_pick, set_nee, set_vol_pick, set_vol), lights, v, vd,
+        site_lp)
 
 
 def _finish_kernel(cfg, flags_ref, mis_ref,
@@ -1252,13 +1326,20 @@ def _bounce_tail_kernel(cfg, const_ref, frame_ref,
     frame+set-id vector followed by the finish kernel's flags[1:9]
     (set_fresnel..mis_on — frame is shared).
     const_ref: SMEM f32: the shadow const vector followed by the finish
-    mis_const vector."""
+    mis_const vector.
+    vol_and_outs: when TL > 1, 3*(L + VM*L) per-site resolved
+    light-position refs first (_site_light_positions); then the VM*L
+    (vol_dist, vol_pdf) pairs and the 24 output refs."""
     (shadow_cfg, finish_cfg, n_shadow_const) = cfg
-    L, VM = shadow_cfg[5], shadow_cfg[6]
+    L, VM, TL = shadow_cfg[5], shadow_cfg[6], shadow_cfg[19]
     consts = _unpack_shadow_const(shadow_cfg, const_ref)
     frame_u32, set_pick, set_nee, set_vol_pick, set_vol = \
         _unpack_shadow_sets(shadow_cfg, frame_ref)
 
+    S = (L + VM * L) if TL > 1 else 0
+    site_lp = ([vol_and_outs[3 * sI:3 * sI + 3] for sI in range(S)]
+               or None)
+    vol_and_outs = vol_and_outs[3 * S:]
     n_vol = 2 * VM * L
     vol_args = vol_and_outs[:n_vol]
     outs_refs = vol_and_outs[n_vol:]
@@ -1287,7 +1368,7 @@ def _bounce_tail_kernel(cfg, const_ref, frame_ref,
     rad_r, rad_g, rad_b = _shadow_delta(
         shadow_cfg, consts, frame_u32,
         (set_pick, set_nee, set_vol_pick, set_vol),
-        lights, spheres, v, vd, vp)
+        lights, spheres, v, vd, vp, site_lp)
 
     fbase = 1 + 2 * L + 2 * VM * L
     scalars = (frame_u32,
@@ -1599,6 +1680,12 @@ def bounce_tail_fused(data, static, settings, tables, depth: int,
         _to_rows(state.prev_pdf, rows),
         _to_rows(hit.obj, rows),
     ]
+    if TL > 1:
+        for lp in _site_light_positions(data, s, tables, depth, NL, L,
+                                        VM, state.sample_idx,
+                                        state.pixel, state.time):
+            for c in range(3):
+                args.append(_to_rows(lp[:, c], rows))
     for m in range(VM):
         for i in range(L):
             args.append(_to_rows(vol_dists[m][i], rows))
@@ -1733,6 +1820,11 @@ def shadow_radiance(data, static, settings, tables, depth: int,
         _to_rows(receives.astype(jnp.int32), rows),
         _to_rows(time, rows),
     ]
+    if TL > 1:
+        for lp in _site_light_positions(data, s, tables, depth, NL, L,
+                                        VM, sample_idx, pixel, time):
+            for c in range(3):
+                args.append(_to_rows(lp[:, c], rows))
     for m in range(VM):
         for i in range(L):
             args.append(_to_rows(vol_dists[m][i], rows))
@@ -1753,7 +1845,7 @@ def shadow_radiance(data, static, settings, tables, depth: int,
     kernel = functools.partial(_shadow_kernel, cfg)
     out_r, out_g, out_b = pl.pallas_call(
         kernel, grid=(grid,),
-        in_specs=[smem, smem_i] + [vspec] * (27 + 2 * VM * L),
+        in_specs=[smem, smem_i] + [vspec] * len(args),
         out_specs=(vspec, vspec, vspec),
         out_shape=(jax.ShapeDtypeStruct((rows, LANES), jnp.float32),) * 3,
         interpret=interpret or INTERPRET,
@@ -1833,6 +1925,11 @@ def shadow_sort_key(data, static, settings, tables, depth: int,
         _to_rows(receives.astype(jnp.int32), rows),
         _to_rows(time, rows),
     ]
+    if TL > 1:
+        for lp in _site_light_positions(data, s, tables, depth, NL, L,
+                                        VM, sample_idx, pixel, time):
+            for c in range(3):
+                args.append(_to_rows(lp[:, c], rows))
     for m in range(VM):
         for i in range(L):
             args.append(_to_rows(vol_dists[m][i], rows))
@@ -1852,7 +1949,7 @@ def shadow_sort_key(data, static, settings, tables, depth: int,
     kernel = functools.partial(_shadow_key_kernel, cfg)
     out = pl.pallas_call(
         kernel, grid=(grid,),
-        in_specs=[smem, smem_i] + [vspec] * (18 + VM * L),
+        in_specs=[smem, smem_i] + [vspec] * len(args),
         out_specs=vspec,
         out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
         interpret=interpret or INTERPRET,

@@ -116,10 +116,14 @@ def sample_batched_at(ch: AnimChannel, obj_idx: jnp.ndarray,
     u = jnp.clip(u, 0.0, n - 1)
     i0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, n - 2)
     frac = (u - i0.astype(jnp.float32))[:, None]
-    # Animated case: flat-index gather over the (object, knot) table.
+    # Animated case: one-hot contraction over the flattened
+    # (object, knot) table — a native flat-index gather here measured
+    # ~400 ms/pass when this landed on the fused hot path
+    # (BASELINE.md round-4, external light resolution); the one-hot
+    # form runs at bandwidth speed like every other scene lookup.
     flat = vals.reshape(k * n, d2)
-    v0 = flat[obj_idx * n + i0]
-    v1 = flat[obj_idx * n + i0 + 1]
+    v0 = small_gather(flat, obj_idx * n + i0)
+    v1 = small_gather(flat, obj_idx * n + i0 + 1)
     return v0 * (1.0 - frac) + v1 * frac
 
 

@@ -228,6 +228,29 @@ def main():
                      f"({chain/max(cost,1):.2f}x over chain; oracle "
                      f"{oracle})")
             print(line2)
+        # CHUNK-granular sorting (the SHIPPED scheme,
+        # integrator._sort_by_cost): the md/t0 key summed per chunk of
+        # adjacent lanes, chunks permuted whole. Shows how much of the
+        # per-lane sort's win survives chunking — and the per-lane
+        # oracle at each chunk size (sort by true totals, still
+        # chunk-granular) separates key error from granularity loss.
+        lane_key = est.sum(axis=0)
+        lane_key = np.pad(lane_key, (0, pad)) if pad else lane_key
+        for chunk in (8, 32, 128, 512):
+            nch = len(lane_key) // chunk
+            ckey = lane_key.reshape(nch, chunk).sum(axis=1)
+            corder = np.argsort(-ckey, kind="stable")
+            perm = (corder[:, None] * chunk
+                    + np.arange(chunk)[None, :]).reshape(-1)
+            cost = totals[perm].reshape(nblk, B).max(axis=1).sum()
+            otk = totals.reshape(nch, chunk).sum(axis=1)
+            oorder = np.argsort(-otk, kind="stable")
+            operm = (oorder[:, None] * chunk
+                     + np.arange(chunk)[None, :]).reshape(-1)
+            ocost = totals[operm].reshape(nblk, B).max(axis=1).sum()
+            print(f"  chunk={chunk}: md/t0-key={cost} "
+                  f"({chain/max(cost,1):.2f}x over chain) "
+                  f"true-key={ocost} ({chain/max(ocost,1):.2f}x)")
         # phase-1 predictor: chain with per-segment cap C, sort the
         # unresolved rays by their capped totals, finish from scratch
         # with resolved segments masked off (1 iteration each)

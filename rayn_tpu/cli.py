@@ -99,8 +99,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="orthographic view height in world units")
     p.add_argument("--animated-geo", action="store_true",
                    help="fractal scene with orbiting sphere lights "
-                        "(multi-knot geometry channels; fused in-kernel "
-                        "up to 8 knots)")
+                        "(multi-knot geometry channels; runs fully "
+                        "fused at any knot count)")
     p.add_argument("--no-shadow-bv-clip", action="store_true",
                    help="disable the exact bounding-sphere clipping of "
                         "SDF shadow segments (BASELINE.md round-3)")

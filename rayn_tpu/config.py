@@ -229,9 +229,10 @@ class RenderSettings:
     # kernel — the unfused path materializes ~40 XLA fusion results per
     # bounce to HBM. Falls back automatically (with a one-time warning)
     # for scenes the kernel cannot host: no component-form SDF,
-    # non-scalar SDF params, march relaxation, > MAX_SMEM_KNOTS
-    # animation knots, CPU backend. MIS and animated light/sphere
-    # channels (<= 8 knots) run in-kernel since round 3.
+    # non-scalar SDF params, march relaxation, CPU backend. MIS, any
+    # number of SDF instances (in-kernel closest/occlusion folds, round
+    # 5) and animated light/sphere channels with NO knot limit (positions
+    # resolved outside the kernels, rounds 4-5) all run fused.
     # Measured on v5e: 769 vs 883 ms per 1M-ray fractal pass; streams
     # identical, radiance equal up to f32 association (rare grazing
     # visibility flips; fused-vs-unfused image RMSE < 5e-4, tested).

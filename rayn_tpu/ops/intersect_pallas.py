@@ -4,14 +4,21 @@ The unfused primary path per bounce is: [N,K] sphere quadratics (XLA) ->
 SDF march (Pallas) -> closest select (XLA) -> shading_info (XLA: sphere
 normals, tetrahedral SDF normals = 4 more DE evals, material gather) —
 each stage round-tripping the wavefront through HBM. Here the whole
-chain runs in one kernel: sphere fold, sphere-bounded SDF march,
-tetrahedral normal, and the per-kind shading-info selects, with scene
-constants (sphere centers/radii/materials, SDF params) in SMEM.
+chain runs in one kernel: sphere fold, sphere-bounded SDF march folded
+across every traced-SDF instance, tetrahedral normal, and the per-kind
+shading-info selects, with scene constants (sphere centers/radii/
+materials, per-instance SDF params) in SMEM.
 
 Semantics mirror ops.intersect.closest_hit + shading_info exactly
 (reference src/hitable.rs:170-210, src/sphere.rs:48-86,
-src/sdf.rs:59-102). Constant (1-knot) sphere channels only — the
-animated case falls back to the unfused path (fused_intersect_ok).
+src/sdf.rs:59-102), including the whole-store closest fold: each
+instance is marched with the running closest as its t_max. Animated
+(TS > 1) sphere centers are resolved OUTSIDE the kernel at each lane's
+time (scene.sphere_centers_at) and enter as per-lane VMEM inputs — no
+knot limit, no in-kernel lerp (the same design that fixed the animated
+light channels, BASELINE.md round-4). Eligibility is the shared
+shade_pallas._eligibility_reason: component-form SDFs with scalar
+parameter leaves, plain (relax=1) marching.
 """
 
 from __future__ import annotations
@@ -23,8 +30,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from rayn_tpu.ops.march_pallas import (LANES, _flatten_params, _to_rows,
-                                       _unflatten_params)
+from rayn_tpu.ops.march_pallas import LANES, _to_rows
+from rayn_tpu.ops.shade_pallas import (_flatten_instances,
+                                       _unpack_instances)
 
 _MISS = 3.4e38  # ops.spheres.MISS (reference src/sphere.rs:57)
 
@@ -36,16 +44,17 @@ from rayn_tpu.ops.sdf import TETRA_TAPS as _TETRA
 INTERPRET = False
 
 
-def fused_intersect_ok(settings, static, data, prog) -> bool:
+def fused_intersect_ok(settings, static, data) -> bool:
     """Whether the fused intersect kernel can replace
     closest_hit + shading_info for this scene/settings. Scenes without
-    an SDF are eligible (the kernel skips the march + tetra normal)."""
+    an SDF are eligible (the kernel skips the march + tetra normal);
+    any instance count and any sphere-channel knot count run fused."""
     from rayn_tpu.ops.shade_pallas import _eligibility_reason, warn_fallback
     if not (settings.use_pallas and settings.use_fused_intersect):
         return False
     if jax.default_backend() == "cpu" and not INTERPRET:
         return False
-    reason = _eligibility_reason(settings, static, data, prog)
+    reason = _eligibility_reason(settings, static, data)
     if reason is not None:
         warn_fallback("fused intersect kernel", reason)
         return False
@@ -54,32 +63,35 @@ def fused_intersect_ok(settings, static, data, prog) -> bool:
 
 def _intersect_kernel(cfg, const_ref,
                       ox, oy, oz, dx, dy, dz, habs, hlin, act, time_r,
-                      out_t, out_obj, out_px, out_py, out_pz,
-                      out_nx, out_ny, out_nz, out_off, out_mat):
+                      *site_and_outs):
     """One block's closest-hit + shading info.
 
-    const_ref: SMEM f32 [1, n_leaves + (3*TS+2)*K + 2]: SDF leaves then
-    per-sphere (center knots [TS, 3], radius, material id as f32), then
-    the sphere channel (t0, t1). Animated (TS > 1) centers are lerped at
-    each lane's time (mirrors scene.sphere_centers_at)."""
-    (fn_c, treedef, n_leaves, K, max_steps, detail, t_max0, sdf_mat,
-     TS) = cfg
-    from rayn_tpu.ops.shade_pallas import _interp3, _interp_weights
-    prm = (_unflatten_params(const_ref, treedef, n_leaves)
-           if fn_c is not None else None)
-    sstride = 3 * TS + 2
+    const_ref: SMEM f32 [1, sum(n_leaves) + 5*K (+1 when empty)]:
+    per-instance SDF leaves (consecutive — shade_pallas
+    _flatten_instances layout) then per-sphere (knot-0 center xyz,
+    radius, material id as f32). Animated (TS > 1) centers arrive
+    per-lane instead (see site_and_outs) and the knot-0 scalars are
+    dead values (Mosaic DCEs them).
+    site_and_outs: 3*K per-lane resolved sphere-center refs when
+    TS > 1 (x, y, z per sphere — scene.sphere_centers_at at each
+    lane's time), then the 10 output refs."""
+    (sdfs, mats, K, max_steps, detail, t_max0, TS) = cfg
+    prms, base = _unpack_instances(sdfs, const_ref)
+    site_sc = None
     if TS > 1:
-        st0 = const_ref[0, n_leaves + K * sstride]
-        st1 = const_ref[0, n_leaves + K * sstride + 1]
-        si0, sfrac = _interp_weights(time_r[:], st0, st1, TS)
+        site_sc = [site_and_outs[3 * k:3 * k + 3] for k in range(K)]
+        site_and_outs = site_and_outs[3 * K:]
+    (out_t, out_obj, out_px, out_py, out_pz,
+     out_nx, out_ny, out_nz, out_off, out_mat) = site_and_outs
 
     def sphere_k(k):
-        base = n_leaves + k * sstride
-        knots = tuple(tuple(const_ref[0, base + 3 * j + c]
-                            for c in range(3)) for j in range(TS))
-        center = _interp3(knots, si0, sfrac) if TS > 1 else knots[0]
-        return center + (const_ref[0, base + 3 * TS],
-                         const_ref[0, base + 3 * TS + 1])
+        b = base + 5 * k
+        if site_sc is not None:
+            center = (site_sc[k][0][:], site_sc[k][1][:],
+                      site_sc[k][2][:])
+        else:
+            center = tuple(const_ref[0, b + c] for c in range(3))
+        return center + (const_ref[0, b + 3], const_ref[0, b + 4])
 
     spheres = tuple(sphere_k(k) for k in range(K))
 
@@ -110,12 +122,14 @@ def _intersect_kernel(cfg, const_ref,
         best_t = jnp.where(closer, tk, best_t)
         best_obj = jnp.where(closer, float(k), best_obj)
 
-    # --- SDF march bounded by the sphere-closest (march_pallas
-    # _march_kernel relax==1 body; reference src/sdf.rs:59-83) ---
-    if fn_c is not None:
-        eps_const = 5e-5 * detail
-        eps_abs = 0.05 * detail * hps_abs
-        eps_lin = 0.05 * detail * hps_lin
+    # --- SDF march folded across instances, each bounded by the
+    # running closest (march_pallas _march_kernel relax==1 body;
+    # reference src/sdf.rs:59-83 folded per src/hitable.rs:170-210) ---
+    eps_const = 5e-5 * detail
+    eps_abs = 0.05 * detail * hps_abs
+    eps_lin = 0.05 * detail * hps_lin
+    for j, (inst, prm) in enumerate(zip(sdfs, prms)):
+        fn_c = inst.fn_c
         t_max = best_t
 
         t0 = fn_c(prm, o_x, o_y, o_z)
@@ -135,7 +149,8 @@ def _intersect_kernel(cfg, const_ref,
 
         def body(state):
             step, t, _ = state
-            dist = fn_c(prm, o_x + t * d_x, o_y + t * d_y, o_z + t * d_z)
+            dist = fn_c(prm, o_x + t * d_x, o_y + t * d_y,
+                        o_z + t * d_z)
             done = done_of(t, dist)
             t = jnp.where(done, t, t + dist)
             return step + 1, t, jnp.all(done)
@@ -144,7 +159,7 @@ def _intersect_kernel(cfg, const_ref,
                                          (jnp.int32(0), t0, init_done))
         closer = t_sdf < best_t
         best_t = jnp.where(closer, t_sdf, best_t)
-        best_obj = jnp.where(closer, float(K), best_obj)
+        best_obj = jnp.where(closer, float(K + j), best_obj)
 
     # --- shading info (ops/intersect.shading_info; reference
     # src/sphere.rs:74-86, src/sdf.rs:85-102) ---
@@ -153,7 +168,6 @@ def _intersect_kernel(cfg, const_ref,
     p_z = o_z + best_t * d_z
     obj_i = best_obj.astype(jnp.int32)
     is_sph = (obj_i >= 0) & (obj_i < K)
-    is_sdf = obj_i == K
 
     n_x = jnp.zeros_like(p_x)
     n_y = jnp.zeros_like(p_x)
@@ -170,30 +184,31 @@ def _intersect_kernel(cfg, const_ref,
         vx, vy, vz = p_x - scx, p_y - scy, p_z - scz
         vlen = jnp.sqrt(vx * vx + vy * vy + vz * vz)
         vinv = 1.0 / jnp.maximum(vlen, 1e-20)
-        sphf = is_sph.astype(jnp.float32)
         n_x = jnp.where(is_sph, vx * vinv, n_x)
         n_y = jnp.where(is_sph, vy * vinv, n_y)
         n_z = jnp.where(is_sph, vz * vinv, n_z)
-        del sphf
 
     off = jnp.zeros_like(p_x)
-    if fn_c is not None:
+    if sdfs:
         hps = jnp.maximum(1e-4, detail * (hps_abs + hps_lin * best_t))
-        gx = jnp.zeros_like(p_x)
-        gy = jnp.zeros_like(p_x)
-        gz = jnp.zeros_like(p_x)
-        for (kx, ky, kz) in _TETRA:
-            dk = fn_c(prm, p_x + kx * hps, p_y + ky * hps, p_z + kz * hps)
-            gx = gx + kx * dk
-            gy = gy + ky * dk
-            gz = gz + kz * dk
-        glen = jnp.sqrt(gx * gx + gy * gy + gz * gz)
-        ginv = 1.0 / jnp.maximum(glen, 1e-20)
-        n_x = jnp.where(is_sdf, gx * ginv, n_x)
-        n_y = jnp.where(is_sdf, gy * ginv, n_y)
-        n_z = jnp.where(is_sdf, gz * ginv, n_z)
-        mat = jnp.where(is_sdf, float(sdf_mat), mat)
-        off = jnp.where(is_sdf, hps, off)
+        for j, (inst, prm) in enumerate(zip(sdfs, prms)):
+            is_j = obj_i == K + j
+            gx = jnp.zeros_like(p_x)
+            gy = jnp.zeros_like(p_x)
+            gz = jnp.zeros_like(p_x)
+            for (kx, ky, kz) in _TETRA:
+                dk = inst.fn_c(prm, p_x + kx * hps, p_y + ky * hps,
+                               p_z + kz * hps)
+                gx = gx + kx * dk
+                gy = gy + ky * dk
+                gz = gz + kz * dk
+            glen = jnp.sqrt(gx * gx + gy * gy + gz * gz)
+            ginv = 1.0 / jnp.maximum(glen, 1e-20)
+            n_x = jnp.where(is_j, gx * ginv, n_x)
+            n_y = jnp.where(is_j, gy * ginv, n_y)
+            n_z = jnp.where(is_j, gz * ginv, n_z)
+            mat = jnp.where(is_j, float(mats[j]), mat)
+            off = jnp.where(is_j, hps, off)
 
     out_t[:] = best_t
     out_obj[:] = obj_i
@@ -216,7 +231,6 @@ def closest_hit_shading(data, static, settings, origin, direction,
     shading_info for eligible scenes (fused_intersect_ok)."""
     from rayn_tpu.ops.intersect import Hit, ShadingInfo
 
-    prog = static.sdf_program(data) if static.has_sdf else None
     n = origin.shape[0]
     block_rows = max(block_rows, 8)
     block = block_rows * LANES
@@ -225,29 +239,25 @@ def closest_hit_shading(data, static, settings, origin, direction,
     K = int(static.n_spheres)
     TS = int(data.sphere_centers.values.shape[1]) if K else 1
 
-    params, treedef, n_leaves = _flatten_params(
-        prog.params if prog is not None else {})
-    # Spheres are indexed at offset n_leaves — exclude the zero-leaf
-    # dummy _flatten_params returns for an empty pytree (n_leaves == 0).
-    pieces = [params.reshape(-1)] if n_leaves else []
+    insts = static.sdf_instances(data) if static.has_sdf else []
+    flat, sdfs = _flatten_instances([(prog, 0.0)
+                                     for prog, _mat, _bv in insts])
+    mats = tuple(int(m) for _prog, m, _bv in insts)
+    # Spheres are indexed right after the instance leaves (the empty
+    # flat vector has length 0 — no dummy entry).
+    pieces = [flat] if flat.shape[0] else []
     if K:
         pieces.append(jnp.concatenate([
-            data.sphere_centers.values.reshape(K, 3 * TS),  # all knots
-            data.sphere_radii[:, None],              # [K, 1]
+            data.sphere_centers.values[:, 0, :],      # [K, 3] knot 0
+            data.sphere_radii[:, None],               # [K, 1]
             data.sphere_mats.astype(jnp.float32)[:, None],
         ], axis=-1).reshape(-1))
-        pieces.append(jnp.stack([
-            jnp.asarray(data.sphere_centers.t0, jnp.float32),
-            jnp.asarray(data.sphere_centers.t1, jnp.float32)]))
     if not pieces:
         pieces = [jnp.zeros((1,), jnp.float32)]  # SMEM needs >= 1 entry
     const = jnp.concatenate(pieces).reshape(1, -1)
 
-    cfg = (prog.fn_c if prog is not None else None,
-           treedef, n_leaves, K, settings.max_marches,
-           settings.sdf_detail_scale, 2.0 * settings.world_radius,
-           int(static.sdf_mat) if static.has_sdf else 0,
-           TS)
+    cfg = (sdfs, mats, K, settings.max_marches,
+           settings.sdf_detail_scale, 2.0 * settings.world_radius, TS)
 
     args = [
         _to_rows(origin[:, 0], rows), _to_rows(origin[:, 1], rows),
@@ -258,6 +268,12 @@ def closest_hit_shading(data, static, settings, origin, direction,
         _to_rows(active.astype(jnp.int32), rows),
         _to_rows(time, rows),
     ]
+    if TS > 1:
+        from rayn_tpu.scene.scene import sphere_centers_at
+        sc = sphere_centers_at(data, time)            # [N, K, 3]
+        for k in range(K):
+            for c in range(3):
+                args.append(_to_rows(sc[:, k, c], rows))
     grid = rows // block_rows
     vspec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
@@ -269,21 +285,23 @@ def closest_hit_shading(data, static, settings, origin, direction,
     kernel = functools.partial(_intersect_kernel, cfg)
     (t, obj, px, py, pz, nx, ny, nz, off, mat) = pl.pallas_call(
         kernel, grid=(grid,),
-        in_specs=[smem] + [vspec] * 10,
+        in_specs=[smem] + [vspec] * len(args),
         out_specs=(vspec,) * 10,
         out_shape=(f32, i32, f32, f32, f32, f32, f32, f32, f32, i32),
         interpret=interpret or INTERPRET,
     )(const, *args)
 
-    def flat(a):
+    def flat_out(a):
         return a.reshape(-1)[:n]
 
-    obj = flat(obj)
-    hit = Hit(flat(t), obj, active & (obj >= 0))
+    obj = flat_out(obj)
+    hit = Hit(flat_out(t), obj, active & (obj >= 0))
     info = ShadingInfo(
-        point=jnp.stack([flat(px), flat(py), flat(pz)], axis=-1),
-        normal=jnp.stack([flat(nx), flat(ny), flat(nz)], axis=-1),
-        offset_by=flat(off),
-        mat=flat(mat),
+        point=jnp.stack([flat_out(px), flat_out(py), flat_out(pz)],
+                        axis=-1),
+        normal=jnp.stack([flat_out(nx), flat_out(ny), flat_out(nz)],
+                         axis=-1),
+        offset_by=flat_out(off),
+        mat=flat_out(mat),
     )
     return hit, info

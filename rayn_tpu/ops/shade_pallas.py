@@ -17,9 +17,19 @@ unfused path. The equi-angular *distance* samples are precomputed
 outside (jnp.arctan2/tan are not reliably lowered by Mosaic) and passed
 in per volume march.
 
-Eligibility (checked by `fused_ok`): component-form SDF with scalar
-parameter leaves, constant (1-knot) light/sphere channels, mis off.
-Everything else falls back to the unfused path.
+Eligibility (checked by `fused_ok`, shared with the fused intersect
+kernel): every traced-SDF instance must have a component-form `fn_c`
+with only SCALAR parameter leaves (they ride in SMEM), and
+march_relaxation must be 1.0 (the relaxed march carries extra state).
+Everything else runs fused: any number of SDF instances (the kernels
+fold closest-hit/occlusion across all of them, reference
+src/hitable.rs:163-210), MIS, and animated light/sphere channels with
+NO knot limit — animated positions are resolved OUTSIDE the kernels at
+each lane's time and enter as per-lane VMEM inputs (see
+_site_light_positions; the in-kernel per-lane knot lerp measured +40%
+on whole passes from register pressure, BASELINE.md round-4).
+Ineligible scenes fall back to the unfused path with a one-time
+warning.
 
 Fidelity note (measured on v5e): in interpret mode the kernel matches
 the unfused path to f32 association order (tests/test_fused_shadows.py).
@@ -38,6 +48,7 @@ because the fused kernel is itself deterministic.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -46,7 +57,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rayn_tpu.ops.march_pallas import (LANES, _chained_occl_core,
                                        _flatten_params, _segment_entry,
-                                       _to_rows, _unflatten_params)
+                                       _to_rows)
 from rayn_tpu.scene.scene import (DIELECTRIC, EMISSIVE, LAMBERT, METALLIC,
                                   REFRACTIVE, SKY)
 from rayn_tpu.utils import rng as rng_mod
@@ -59,17 +70,76 @@ _F0 = 0.04
 # backend gate is bypassed). Set by tests only.
 INTERPRET = False
 
-# Max SPHERE animation-channel knots the fused kernels host in SMEM
-# (each knot costs 3 scalars per sphere plus a fused select per use; 8
-# knots measured free on the spheres config — the march dominates).
-# Light channels have NO knot limit: animated light positions are
-# resolved outside the kernels (_site_light_positions) after the
-# in-kernel lerp measured +40% on whole passes (BASELINE.md round-4).
-MAX_SMEM_KNOTS = 8
-
 # De-duped eligibility-cliff warnings: silently dropping to the ~2x
 # slower unfused path (round-2 verdict: the cliffs were invisible).
 _WARNED: set = set()
+
+
+class SdfStatic(NamedTuple):
+    """Static half of one traced-SDF instance as the fused kernels see
+    it: the component-form dist function, its parameter-pytree layout
+    (the scalar leaves themselves ride in the SMEM const vector, packed
+    consecutively per instance), and the instance's bounding-volume
+    clip radius (0 = no clip). One entry per instance, in object-id
+    order — the reference's HitableStore fold domain
+    (src/hitable.rs:170-210)."""
+    fn_c: object
+    treedef: object
+    n_leaves: int
+    bv_r: float
+
+
+class ShadowCfg(NamedTuple):
+    """Static configuration of the fused shadow/bounce-tail/sort-key
+    kernels (closed over via functools.partial; everything here is
+    compile-time)."""
+    sdfs: tuple          # of SdfStatic, object-id order; () = no SDF
+    sampler: str
+    num_1d_sets: int
+    L: int               # NEE light samples per vertex
+    VM: int              # volume marches per vertex
+    NL: int              # lights in the scene
+    K: int               # spheres in the scene
+    has_ext: bool
+    has_scat: bool
+    eps_c: float
+    eps_l: float
+    max_steps: int
+    correction: float
+    vm_correction: float
+    mis: bool
+    compat_reflect: bool
+    TL: int              # light-channel knots (1 = constant)
+    TS: int              # sphere-channel knots (1 = constant)
+    chained: int         # 0 = sequential; else the advance group size
+
+
+def _flatten_instances(progs_bvs):
+    """Flatten every instance's scalar parameter leaves into ONE flat
+    f32 vector (consecutive per instance — the head of the SMEM const
+    vector) plus the tuple of SdfStatic descriptors.
+
+    progs_bvs: list of (SdfProgram, bound_radius)."""
+    parts, statics = [], []
+    for prog, bv in progs_bvs:
+        flat, treedef, nl = _flatten_params(prog.params)
+        if nl:
+            parts.append(flat.reshape(-1))
+        statics.append(SdfStatic(prog.fn_c, treedef, nl, float(bv)))
+    flat = (jnp.concatenate(parts) if parts
+            else jnp.zeros((0,), jnp.float32))
+    return flat, tuple(statics)
+
+
+def _unpack_instances(sdfs, const_ref):
+    """Per-instance parameter pytrees from the SMEM const vector's head;
+    returns (list of pytrees, total leaf count)."""
+    prms, base = [], 0
+    for inst in sdfs:
+        leaves = [const_ref[0, base + i] for i in range(inst.n_leaves)]
+        prms.append(jax.tree.unflatten(inst.treedef, leaves))
+        base += inst.n_leaves
+    return prms, base
 
 
 def warn_fallback(feature: str, reason: str) -> None:
@@ -86,27 +156,26 @@ def warn_fallback(feature: str, reason: str) -> None:
         RuntimeWarning, stacklevel=3)
 
 
-def _eligibility_reason(settings, static, data, prog) -> str | None:
+def _eligibility_reason(settings, static, data) -> str | None:
     """Scene/settings facts that keep the fused kernels off (shared by
-    fused_ok and fused_intersect_ok); None = eligible."""
+    fused_ok and fused_intersect_ok); None = eligible. There is no
+    limit on instance count, animation knots, or MIS — only the SDF
+    parameter representation (scalar SMEM leaves) and plain (relax=1)
+    marching gate the fused family."""
     if settings.march_relaxation != 1.0:
         return "march_relaxation != 1.0 (relaxed march carries extra state)"
-    if static.extra_sdfs:
-        return ("scene has multiple SDF instances (the fused kernels "
-                "host one; the unfused path folds across all)")
     if static.has_sdf:
-        if prog is None or prog.fn_c is None:
-            return "SDF program has no component-form fn_c"
-        if any(getattr(jnp.asarray(leaf), "shape", ()) != ()
-               for leaf in jax.tree.leaves(prog.params)):
-            return "SDF program has non-scalar parameter leaves"
-    if (static.n_spheres
-            and data.sphere_centers.values.shape[1] > MAX_SMEM_KNOTS):
-        return (f"sphere channels have > {MAX_SMEM_KNOTS} keyframe knots")
+        for i, (prog, _mat, _bv) in enumerate(static.sdf_instances(data)):
+            if prog.fn_c is None:
+                return f"SDF instance {i} has no component-form fn_c"
+            if any(getattr(jnp.asarray(leaf), "shape", ()) != ()
+                   for leaf in jax.tree.leaves(prog.params)):
+                return (f"SDF instance {i} has non-scalar parameter "
+                        "leaves")
     return None
 
 
-def fused_ok(settings, static, data, prog) -> bool:
+def fused_ok(settings, static, data) -> bool:
     """Whether the fused shadow kernel can replace the unfused path.
     Scenes without an SDF are eligible too (the kernel simply skips the
     shadow march and tests spheres only)."""
@@ -114,7 +183,7 @@ def fused_ok(settings, static, data, prog) -> bool:
         return False
     if jax.default_backend() == "cpu" and not INTERPRET:
         return False
-    reason = _eligibility_reason(settings, static, data, prog)
+    reason = _eligibility_reason(settings, static, data)
     if reason is not None:
         warn_fallback("fused shadow/finish kernels", reason)
         return False
@@ -581,53 +650,46 @@ F32_EPS = 1.1920929e-07  # f32::EPSILON (reference src/material.rs:236)
 # --------------------------------------------------------------------------
 
 def _unpack_shadow_const(cfg, const_ref):
-    """Decode the shadow SMEM const vector (layout documented at
-    shadow_radiance): SDF leaves, per-light (knot-0 pos xyz, radius,
-    emission rgb, paired flag), per-sphere (TS*3 center knots, radius),
-    (sigma_t, sigma_s), channel time ranges (lt0, lt1, st0, st1).
+    """Decode the shadow SMEM const vector (layout built by
+    _shadow_const_vector): per-instance SDF leaves (consecutive),
+    per-light (knot-0 pos xyz, radius, emission rgb, paired flag),
+    per-sphere (knot-0 center xyz, radius), (sigma_t, sigma_s).
 
-    Light positions carry only knot 0: animated (TL > 1) light
-    positions are resolved OUTSIDE the kernel at each lane's time and
-    arrive as per-site VMEM inputs (see _site_light_positions) — the
-    in-kernel per-lane knot lerp measured +40% on the whole animated
-    pass from register pressure alone (BASELINE.md round-4
-    attribution), while the resolved positions are an elementwise XLA
-    lerp fused into the pass for free."""
-    (fn_c, treedef, n_leaves, sampler, num_1d_sets, L, VM, NL, K,
-     has_ext, has_scat, eps_c, eps_l, max_steps,
-     correction, vm_correction, bv_r, mis, compat_reflect,
-     TL, TS, _chained) = cfg
-    prm = (_unflatten_params(const_ref, treedef, n_leaves)
-           if fn_c is not None else None)
-    base = n_leaves
+    Light AND sphere positions carry only knot 0: animated (T > 1)
+    channels are resolved OUTSIDE the kernel at each lane's time and
+    arrive as per-lane VMEM inputs (_site_light_positions /
+    sphere_centers_at) — the in-kernel per-lane knot lerp measured +40%
+    on the whole animated pass from register pressure alone
+    (BASELINE.md round-4 attribution), while the resolved positions are
+    an elementwise XLA lerp fused into the pass for free. The knot-0
+    scalars are dead values then (Mosaic DCEs them)."""
+    prms, base = _unpack_instances(cfg.sdfs, const_ref)
+    NL, K = cfg.NL, cfg.K
     lstride = 3 + 5
-    light_knots = tuple(
-        (tuple(const_ref[0, base + l * lstride + c] for c in range(3)),)
+    light_knot0 = tuple(
+        tuple(const_ref[0, base + l * lstride + c] for c in range(3))
         for l in range(NL))
     light_tail = tuple(
         tuple(const_ref[0, base + l * lstride + 3 + j]
               for j in range(5)) for l in range(NL))
     base = base + lstride * NL  # lstride == 8: knot-0 xyz + 5 tail
-    sstride = 3 * TS + 1
-    sphere_knots = tuple(
-        tuple(tuple(const_ref[0, base + k * sstride + 3 * j + c]
-                    for c in range(3)) for j in range(TS))
+    sstride = 4
+    sphere_knot0 = tuple(
+        tuple(const_ref[0, base + k * sstride + c] for c in range(3))
         for k in range(K))
-    sphere_rad = tuple(const_ref[0, base + k * sstride + 3 * TS]
+    sphere_rad = tuple(const_ref[0, base + k * sstride + 3]
                        for k in range(K))
     base = base + sstride * K
     sigma_t = const_ref[0, base]
     sigma_s = const_ref[0, base + 1]
-    lt0, lt1 = const_ref[0, base + 2], const_ref[0, base + 3]
-    st0, st1 = const_ref[0, base + 4], const_ref[0, base + 5]
-    return (prm, light_knots, light_tail, sphere_knots, sphere_rad,
-            sigma_t, sigma_s, (lt0, lt1, st0, st1))
+    return (prms, light_knot0, light_tail, sphere_knot0, sphere_rad,
+            sigma_t, sigma_s)
 
 
 def _unpack_shadow_sets(cfg, frame_ref):
     """(frame_u32, set_pick[L], set_nee[L], set_vol_pick[VM][L],
     set_vol[VM][L]) from the SMEM i32 vector [frame, set ids...]."""
-    L, VM = cfg[5], cfg[6]
+    L, VM = cfg.L, cfg.VM
     frame_u32 = frame_ref[0, 0].astype(jnp.uint32)
     set_pick = tuple(frame_ref[0, 1 + i] for i in range(L))
     set_nee = tuple(frame_ref[0, 1 + L + i] for i in range(L))
@@ -641,24 +703,41 @@ def _unpack_shadow_sets(cfg, frame_ref):
     return frame_u32, set_pick, set_nee, set_vol_pick, set_vol
 
 
-def _scene_at_time(cfg, consts, tm):
+def _unpack_sites(cfg, args):
+    """Strip the per-lane animated-channel site refs off the head of a
+    kernel's varargs (arg order built by _site_args): 3*(L + VM*L)
+    resolved light-position refs when TL > 1, then 3*K resolved
+    sphere-center refs when TS > 1. Returns (site_lp, site_sc, rest)."""
+    S = (cfg.L + cfg.VM * cfg.L) if cfg.TL > 1 else 0
+    site_lp = [args[3 * i:3 * i + 3] for i in range(S)] or None
+    args = args[3 * S:]
+    site_sc = None
+    if cfg.TS > 1:
+        site_sc = [args[3 * k:3 * k + 3] for k in range(cfg.K)]
+        args = args[3 * cfg.K:]
+    return site_lp, site_sc, args
+
+
+def _scene_at_time(cfg, consts, site_sc=None):
     """(lights, spheres): per-light (x, y, z, rad, em rgb, paired) and
-    per-sphere (x, y, z, rad) tuples, with animated SPHERE channels
-    lerped at each lane's time ONCE (reused by every NEE + volume
-    sample). Light positions are always the knot-0 SMEM scalars here:
-    when TL > 1 they are dead values — _pick_light takes the per-site
-    externally-resolved position instead (see _site_light_positions) —
-    so Mosaic DCEs them and the kernel body is knot-free for lights."""
-    NL, K, TL, TS = cfg[7], cfg[8], cfg[19], cfg[20]
-    (_prm, light_knots, light_tail, sphere_knots, sphere_rad,
-     _sig_t, _sig_s, (lt0, lt1, st0, st1)) = consts
-    lights = tuple(light_knots[l][0] + light_tail[l] for l in range(NL))
-    if TS > 1:
-        si0, sfrac = _interp_weights(tm, st0, st1, TS)
-    spheres = tuple(
-        _interp3(sphere_knots[k], si0, sfrac) + (sphere_rad[k],)
-        if TS > 1 else (sphere_knots[k][0] + (sphere_rad[k],))
-        for k in range(K))
+    per-sphere (x, y, z, rad) tuples. Positions are the knot-0 SMEM
+    scalars; for animated channels (T > 1) they are dead values — the
+    lights' positions come per-site from _site_light_positions
+    (_pick_light's `pos`), and animated sphere centers come from
+    `site_sc`: K triples of per-lane (x, y, z) refs resolved outside
+    the kernel at each lane's time (sphere_centers_at) — so Mosaic
+    DCEs the knot-0 scalars and the kernel body is knot-free."""
+    NL, K, TS = cfg.NL, cfg.K, cfg.TS
+    (_prms, light_knot0, light_tail, sphere_knot0, sphere_rad,
+     _sig_t, _sig_s) = consts
+    lights = tuple(light_knot0[l] + light_tail[l] for l in range(NL))
+    if TS > 1 and site_sc is not None:
+        spheres = tuple(
+            (site_sc[k][0][:], site_sc[k][1][:], site_sc[k][2][:],
+             sphere_rad[k]) for k in range(K))
+    else:
+        spheres = tuple(sphere_knot0[k] + (sphere_rad[k],)
+                        for k in range(K))
     return lights, spheres
 
 
@@ -673,12 +752,24 @@ def _shadow_delta(cfg, consts, frame_u32, sets, lights, spheres, v,
     picked light positions resolved outside the kernel — L NEE triples
     then VM*L volume triples of per-lane (x, y, z) refs, site order
     matching the loops below."""
-    (fn_c, _treedef, _n_leaves, sampler, num_1d_sets, L, VM, NL, K,
+    (sdfs, sampler, num_1d_sets, L, VM, NL, _K,
      has_ext, has_scat, eps_c, eps_l, max_steps,
-     correction, vm_correction, bv_r, mis, compat_reflect,
+     correction, vm_correction, mis, compat_reflect,
      _TL, _TS, chained) = cfg
-    prm = consts[0]
+    prms = consts[0]
     sigma_t, sigma_s = consts[5], consts[6]
+
+    def sdf_blocked(sx, sy, sz, ex, ey, ez, act):
+        """Occlusion product-fold over every SDF instance (reference
+        src/hitable.rs:163-168), each marched only where still
+        unblocked — matches intersect.test_occluded's fold."""
+        blk = jnp.zeros_like(act)
+        for inst, prm in zip(sdfs, prms):
+            blk = blk | _sdf_occluded(
+                inst.fn_c, prm, max_steps, eps_c, eps_l,
+                sx, sy, sz, ex, ey, ez, act & jnp.logical_not(blk),
+                inst.bv_r)
+        return blk
     set_pick, set_nee, set_vol_pick, set_vol = sets
     (p_x, p_y, p_z) = v["p"]
     (n_x, n_y, n_z) = v["n"]
@@ -701,12 +792,13 @@ def _shadow_delta(cfg, consts, frame_u32, sets, lights, spheres, v,
     # Chained scheduling: collect every segment's (geometry, pending
     # contribution) during the sampling loops, run ONE chained march
     # over all of them (march_pallas._chained_occl_core — per-segment
-    # verdicts bit-identical to _sdf_occluded), then apply the pending
-    # contributions in the same segment order as the sequential path —
-    # the accumulated radiance is bit-identical either way.
+    # verdicts bit-identical to _sdf_occluded) per SDF instance, then
+    # apply the pending contributions in the same segment order as the
+    # sequential path — the accumulated radiance is bit-identical
+    # either way.
     # (verdict bits share one int32 in the chained core, so fall back
     # to sequential loops past 30 segments — exotic configs only)
-    use_chained = (chained and fn_c is not None
+    use_chained = (chained and len(sdfs) > 0
                    and L + (VM * L if has_scat else 0) <= 30)
     seg_list, pend = [], []
 
@@ -759,10 +851,8 @@ def _shadow_delta(cfg, consts, frame_u32, sets, lights, spheres, v,
             seg_list.append((sx, sy, sz, ex, ey, ez, m_act))
             pend.append((kr, kg, kb, m_act))
             continue
-        if fn_c is not None:
-            blocked = blocked | _sdf_occluded(
-                fn_c, prm, max_steps, eps_c, eps_l, sx, sy, sz,
-                ex, ey, ez, worth & jnp.logical_not(blocked), bv_r)
+        blocked = blocked | sdf_blocked(
+            sx, sy, sz, ex, ey, ez, worth & jnp.logical_not(blocked))
         vis = jnp.logical_not(blocked).astype(jnp.float32) \
             * worth.astype(jnp.float32)
         rad_r = rad_r + kr * vis
@@ -808,11 +898,9 @@ def _shadow_delta(cfg, consts, frame_u32, sets, lights, spheres, v,
                     seg_list.append((spx, spy, spz, ex, ey, ez, m_act))
                     pend.append((kr, kg, kb, m_act))
                     continue
-                if fn_c is not None:
-                    blocked = blocked | _sdf_occluded(
-                        fn_c, prm, max_steps, eps_c, eps_l,
-                        spx, spy, spz, ex, ey, ez,
-                        worth & jnp.logical_not(blocked), bv_r)
+                blocked = blocked | sdf_blocked(
+                    spx, spy, spz, ex, ey, ez,
+                    worth & jnp.logical_not(blocked))
                 vis = jnp.logical_not(blocked).astype(jnp.float32) \
                     * worth.astype(jnp.float32)
                 rad_r = rad_r + kr * vis
@@ -820,9 +908,21 @@ def _shadow_delta(cfg, consts, frame_u32, sets, lights, spheres, v,
                 rad_b = rad_b + kb * vis
 
     if use_chained and seg_list:
-        occl = _chained_occl_core(fn_c, prm, max_steps, eps_c, eps_l,
-                                  bv_r, seg_list, group=chained)
-        for (kr, kg, kb, m_act), occ in zip(pend, occl):
+        # Instance fold at chained-march granularity: instance i+1
+        # marches only segments instance <= i left unblocked — the same
+        # product fold as test_occluded, one chained launch per
+        # instance.
+        occ_acc = [jnp.zeros_like(m) for (_r, _g, _b, m) in pend]
+        for inst, prm in zip(sdfs, prms):
+            segs_i = [
+                (sx, sy, sz, ex, ey, ez, act & jnp.logical_not(occ))
+                for (sx, sy, sz, ex, ey, ez, act), occ
+                in zip(seg_list, occ_acc)]
+            occ_i = _chained_occl_core(
+                inst.fn_c, prm, max_steps, eps_c, eps_l, inst.bv_r,
+                segs_i, group=chained)
+            occ_acc = [o | oi for o, oi in zip(occ_acc, occ_i)]
+        for (kr, kg, kb, m_act), occ in zip(pend, occ_acc):
             vis = (m_act & jnp.logical_not(occ)).astype(jnp.float32)
             rad_r = rad_r + kr * vis
             rad_g = rad_g + kg * vis
@@ -855,11 +955,20 @@ def _shadow_cost_key(cfg, consts, frame_u32, sets, lights, v, vd,
     queues: sorting rays by this key recovers 1.5-2.2x block iterations
     over unsorted chaining at bounces >= 1
     (tools/perf_chained_predict.py, sortkey md/t0)."""
-    (fn_c, _treedef, _n_leaves, sampler, num_1d_sets, L, VM, NL, K,
-     has_ext, has_scat, eps_c, eps_l, max_steps,
-     correction, vm_correction, bv_r, mis, compat_reflect,
-     _TL, _TS, _chained) = cfg
-    prm = consts[0]
+    sampler, num_1d_sets = cfg.sampler, cfg.num_1d_sets
+    L, VM, max_steps = cfg.L, cfg.VM, cfg.max_steps
+    has_scat = cfg.has_scat
+    prms = consts[0]
+
+    def seg_cost(sx, sy, sz, ex, ey, ez, act):
+        """Summed per-instance cost: the chained fold marches every
+        instance over still-unblocked segments, so the worst case prices
+        as the sum (reference fold src/hitable.rs:163-168)."""
+        c = jnp.zeros_like(sx)
+        for inst, prm in zip(cfg.sdfs, prms):
+            c = c + _segment_cost(inst.fn_c, prm, max_steps, inst.bv_r,
+                                  sx, sy, sz, ex, ey, ez, act)
+        return c
     set_pick, set_nee, set_vol_pick, set_vol = sets
     (p_x, p_y, p_z) = v["p"]
     (n_x, n_y, n_z) = v["n"]
@@ -887,8 +996,7 @@ def _shadow_cost_key(cfg, consts, frame_u32, sets, lights, v, vd,
         sy = p_y + n_y * bias
         sz = p_z + n_z * bias
         act = receives & (ndw > 0.0)
-        key = key + _segment_cost(fn_c, prm, max_steps, bv_r,
-                                  sx, sy, sz, ex, ey, ez, act)
+        key = key + seg_cost(sx, sy, sz, ex, ey, ez, act)
     if has_scat and VM:
         for m in range(VM):
             for i in range(L):
@@ -905,9 +1013,7 @@ def _shadow_cost_key(cfg, consts, frame_u32, sets, lights, v, vd,
                                     set_vol[m][i], sidx, pix)
                 ex, ey, ez, _pdf = _sample_cone(
                     u1, u2, lx, ly, lz, lrad, spx, spy, spz)
-                key = key + _segment_cost(fn_c, prm, max_steps, bv_r,
-                                          spx, spy, spz, ex, ey, ez,
-                                          alive)
+                key = key + seg_cost(spx, spy, spz, ex, ey, ez, alive)
     return key
 
 
@@ -1101,18 +1207,16 @@ def _shadow_kernel(cfg, const_ref, frame_ref,
     volume 2d — all depth-dependent). Carrying them as runtime scalars
     keeps the Mosaic kernel identical across bounce depths, so XLA
     compiles ONE kernel per pass instead of max_bounces+1.
-    vol_args: when TL > 1, 3*(L + VM*L) per-site resolved light-position
-    refs (x, y, z per site — _site_light_positions); then VM*L pairs of
-    (vol_dist, vol_pdf) refs (march-major, i.e. (m0,i0),(m0,i1),... —
-    precomputed outside because Mosaic lowers no atan2) followed by the
-    three radiance-delta output refs."""
-    L, VM, TL = cfg[5], cfg[6], cfg[19]
+    vol_args: the animated-channel site refs (_unpack_sites — resolved
+    light positions when TL > 1, resolved sphere centers when TS > 1);
+    then VM*L pairs of (vol_dist, vol_pdf) refs (march-major, i.e.
+    (m0,i0),(m0,i1),... — precomputed outside because Mosaic lowers no
+    atan2) followed by the three radiance-delta output refs."""
+    L, VM = cfg.L, cfg.VM
     consts = _unpack_shadow_const(cfg, const_ref)
     frame_u32, set_pick, set_nee, set_vol_pick, set_vol = \
         _unpack_shadow_sets(cfg, frame_ref)
-    S = (L + VM * L) if TL > 1 else 0
-    site_lp = [vol_args[3 * sI:3 * sI + 3] for sI in range(S)] or None
-    vol_args = vol_args[3 * S:]
+    site_lp, site_sc, vol_args = _unpack_sites(cfg, vol_args)
 
     d_x, d_y, d_z = dx[:], dy[:], dz[:]
     tm = time_r[:]
@@ -1126,7 +1230,7 @@ def _shadow_kernel(cfg, const_ref, frame_ref,
         alive=live[:] != 0, recv=recv[:] != 0,
         wo=(-d_x, -d_y, -d_z), tm=tm,
     )
-    lights, spheres = _scene_at_time(cfg, consts, tm)
+    lights, spheres = _scene_at_time(cfg, consts, site_sc)
 
     n_vol = 2 * VM * L
     out_r, out_g, out_b = vol_args[n_vol:n_vol + 3]
@@ -1144,19 +1248,20 @@ def _shadow_kernel(cfg, const_ref, frame_ref,
     out_b[:] = rad_b
 
 
-def _shadow_const_vector(data, static, params, n_leaves, NL, K):
+def _shadow_const_vector(data, static, flat_leaves, NL, K):
     """SMEM shadow const vector (layout read by _unpack_shadow_const):
-    SDF leaves, per-light (knot-0 pos xyz, radius, emission rgb, paired
-    flag), per-sphere (TS*3 center knots, radius), (sigma_t, sigma_s),
-    channel time ranges. Animated light positions (TL > 1) are resolved
-    outside the kernel (_site_light_positions) — only knot 0 is packed;
-    the kernel uses it solely for constant channels. The kernel indexes
-    lights at offset n_leaves, so the zero-leaf dummy _flatten_params
-    returns for an empty pytree must NOT be included (n_leaves == 0
-    there). Returns (flat f32 vector, TL, TS)."""
+    per-instance SDF leaves (consecutive, from _flatten_instances),
+    per-light (knot-0 pos xyz, radius, emission rgb, paired flag),
+    per-sphere (knot-0 center xyz, radius), (sigma_t, sigma_s).
+
+    Animated (T > 1) light/sphere positions are resolved OUTSIDE the
+    kernels at each lane's time (_site_light_positions /
+    scene.sphere_centers_at) and enter as per-lane VMEM inputs — only
+    knot 0 is packed here, a dead value then (Mosaic DCEs it). Returns
+    (flat f32 vector, TL, TS)."""
     TL = int(data.light_pos.values.shape[1]) if NL else 1
     TS = int(data.sphere_centers.values.shape[1]) if K else 1
-    pieces = [params.reshape(-1)] if n_leaves else []
+    pieces = [flat_leaves] if flat_leaves.shape[0] else []
     if NL:
         pieces.append(jnp.concatenate([
             data.light_pos.values[:, 0, :],        # [NL, 3] knot 0
@@ -1166,7 +1271,7 @@ def _shadow_const_vector(data, static, params, n_leaves, NL, K):
         ], axis=-1).reshape(-1))
     if K:
         pieces.append(jnp.concatenate([
-            data.sphere_centers.values.reshape(K, 3 * TS),
+            data.sphere_centers.values[:, 0, :],   # [K, 3] knot 0
             data.sphere_radii[:, None],            # [K, 1]
         ], axis=-1).reshape(-1))
     sig_t = (data.volume_sigma_t if static.has_extinction
@@ -1175,13 +1280,65 @@ def _shadow_const_vector(data, static, params, n_leaves, NL, K):
              else jnp.float32(0.0))
     pieces.append(jnp.stack([jnp.asarray(sig_t, jnp.float32),
                              jnp.asarray(sig_s, jnp.float32)]))
-    # channel time ranges (lt0, lt1, st0, st1) for in-kernel knot lerp
-    pieces.append(jnp.stack([
-        jnp.asarray(data.light_pos.t0 if NL else 0.0, jnp.float32),
-        jnp.asarray(data.light_pos.t1 if NL else 1.0, jnp.float32),
-        jnp.asarray(data.sphere_centers.t0 if K else 0.0, jnp.float32),
-        jnp.asarray(data.sphere_centers.t1 if K else 1.0, jnp.float32)]))
     return jnp.concatenate(pieces), TL, TS
+
+
+def _shadow_cfg_const(data, static, s):
+    """Shared wrapper setup for the fused shadow-kernel family
+    (shadow_radiance / bounce_tail_fused / shadow_sort_key): the
+    ShadowCfg and the SMEM const vector. Every SDF instance contributes
+    its shadow-variant program (truncated DE iterations, BASELINE.md
+    round-3 study) and its bounding radius (clip gated by
+    s.shadow_bv_clip) — the reference's whole-store fold domain
+    (src/hitable.rs:163-210)."""
+    NL = int(static.n_lights)
+    K = int(static.n_spheres)
+    L = s.nee_light_samples if NL > 0 else 0
+    VM = s.volume_marches if (static.has_scattering and NL > 0) else 0
+    insts = static.sdf_instances(data) if static.has_sdf else []
+    flat, sdfs = _flatten_instances([
+        (prog.reduced(s.shadow_de_iterations),
+         bv if s.shadow_bv_clip else 0.0)
+        for prog, _mat, bv in insts])
+    const, TL, TS = _shadow_const_vector(data, static, flat, NL, K)
+    detail = s.sdf_detail_scale * s.shadow_eps_scale
+    cfg = ShadowCfg(
+        sdfs=sdfs, sampler=s.sampler, num_1d_sets=s.num_1d_sets,
+        L=L, VM=VM, NL=NL, K=K,
+        has_ext=static.has_extinction, has_scat=static.has_scattering,
+        eps_c=1e-4 * detail, eps_l=1e-5 * detail,
+        max_steps=s.max_vis_marches,
+        correction=(NL / L) if L else 0.0,
+        vm_correction=(NL / L / VM) if (L and VM) else 0.0,
+        mis=bool(s.mis), compat_reflect=bool(s.compat_spec_reflect),
+        TL=TL, TS=TS,
+        chained=(max(1, int(s.chained_advance_group))
+                 if s.chained_shadow_march else 0),
+    )
+    return cfg, const
+
+
+def _site_args(data, s, tables, depth, cfg, sample_idx, pixel, time,
+               rows):
+    """Per-lane VMEM inputs for animated channels, in the order
+    _unpack_sites reads them: 3*(L + VM*L) resolved light-position
+    columns when TL > 1, then 3*K resolved sphere-center columns when
+    TS > 1 (each sphere's center at each lane's time — motion-blur
+    semantics of reference src/sphere.rs:49 / src/animation.rs:55-68)."""
+    args = []
+    if cfg.TL > 1:
+        for lp in _site_light_positions(data, s, tables, depth, cfg.NL,
+                                        cfg.L, cfg.VM, sample_idx,
+                                        pixel, time):
+            for c in range(3):
+                args.append(_to_rows(lp[:, c], rows))
+    if cfg.TS > 1:
+        from rayn_tpu.scene.scene import sphere_centers_at
+        sc = sphere_centers_at(data, time)               # [N, K, 3]
+        for k in range(cfg.K):
+            for c in range(3):
+                args.append(_to_rows(sc[:, k, c], rows))
+    return args
 
 
 def _site_light_positions(data, s, tables, depth, NL, L, VM,
@@ -1224,16 +1381,15 @@ def _shadow_key_kernel(cfg, const_ref, frame_ref,
                        sample_idx, pixel, live, recv, time_r,
                        *vol_args):
     """Per-ray chained-march cost key (body: _shadow_cost_key).
-    vol_args: when TL > 1, 3*(L + VM*L) per-site resolved light-position
-    refs first (_site_light_positions); then VM*L vol_dist refs
-    (march-major) followed by the key output ref."""
-    L, VM, TL = cfg[5], cfg[6], cfg[19]
+    vol_args: the animated-channel site refs (_unpack_sites; the
+    sphere-center refs are unused — the key prices SDF marches only);
+    then VM*L vol_dist refs (march-major) followed by the key output
+    ref."""
+    L, VM = cfg.L, cfg.VM
     consts = _unpack_shadow_const(cfg, const_ref)
     frame_u32, set_pick, set_nee, set_vol_pick, set_vol = \
         _unpack_shadow_sets(cfg, frame_ref)
-    S = (L + VM * L) if TL > 1 else 0
-    site_lp = [vol_args[3 * sI:3 * sI + 3] for sI in range(S)] or None
-    vol_args = vol_args[3 * S:]
+    site_lp, _site_sc, vol_args = _unpack_sites(cfg, vol_args)
     d_x, d_y, d_z = dx[:], dy[:], dz[:]
     tm = time_r[:]
     v = dict(
@@ -1243,7 +1399,7 @@ def _shadow_key_kernel(cfg, const_ref, frame_ref,
         pix=pixel[:].astype(jnp.uint32),
         alive=live[:] != 0, recv=recv[:] != 0,
     )
-    lights, _spheres = _scene_at_time(cfg, consts, tm)
+    lights, _spheres = _scene_at_time(cfg, consts)
     n_vol = VM * L
     out = vol_args[n_vol]
     vd = [[vol_args[m * L + i][:] for i in range(L)] for m in range(VM)]
@@ -1327,19 +1483,16 @@ def _bounce_tail_kernel(cfg, const_ref, frame_ref,
     (set_fresnel..mis_on — frame is shared).
     const_ref: SMEM f32: the shadow const vector followed by the finish
     mis_const vector.
-    vol_and_outs: when TL > 1, 3*(L + VM*L) per-site resolved
-    light-position refs first (_site_light_positions); then the VM*L
-    (vol_dist, vol_pdf) pairs and the 24 output refs."""
+    vol_and_outs: the animated-channel site refs (_unpack_sites); then
+    the VM*L (vol_dist, vol_pdf) pairs and the 24 output refs."""
     (shadow_cfg, finish_cfg, n_shadow_const) = cfg
-    L, VM, TL = shadow_cfg[5], shadow_cfg[6], shadow_cfg[19]
+    L, VM = shadow_cfg.L, shadow_cfg.VM
     consts = _unpack_shadow_const(shadow_cfg, const_ref)
     frame_u32, set_pick, set_nee, set_vol_pick, set_vol = \
         _unpack_shadow_sets(shadow_cfg, frame_ref)
 
-    S = (L + VM * L) if TL > 1 else 0
-    site_lp = ([vol_and_outs[3 * sI:3 * sI + 3] for sI in range(S)]
-               or None)
-    vol_and_outs = vol_and_outs[3 * S:]
+    site_lp, site_sc, vol_and_outs = _unpack_sites(shadow_cfg,
+                                                   vol_and_outs)
     n_vol = 2 * VM * L
     vol_args = vol_and_outs[:n_vol]
     outs_refs = vol_and_outs[n_vol:]
@@ -1360,7 +1513,7 @@ def _bounce_tail_kernel(cfg, const_ref, frame_ref,
         al_in=al_in[:], no=(no_x[:], no_y[:], no_z[:]),
         ppdf=ppdf_in[:], obj=obj_r[:],
     )
-    lights, spheres = _scene_at_time(shadow_cfg, consts, tm)
+    lights, spheres = _scene_at_time(shadow_cfg, consts, site_sc)
     vd = [[vol_args[2 * (m * L + i)][:] for i in range(L)]
           for m in range(VM)]
     vp = [[vol_args[2 * (m * L + i) + 1][:] for i in range(L)]
@@ -1551,7 +1704,6 @@ def bounce_tail_fused(data, static, settings, tables, depth: int,
     from rayn_tpu.render.integrator import PathState
 
     s = settings
-    prog = static.sdf_program(data) if static.has_sdf else None
     n = state.origin.shape[0]
     block_rows = max(block_rows, 8)
     block = block_rows * LANES
@@ -1565,14 +1717,10 @@ def bounce_tail_fused(data, static, settings, tables, depth: int,
 
     NL = int(static.n_lights)
     K = int(static.n_spheres)
-    L = s.nee_light_samples if NL > 0 else 0
-    VM = s.volume_marches if (static.has_scattering and NL > 0) else 0
     assert NL > 0, "bounce_tail_fused requires lights"
 
-    params, treedef, n_leaves = _flatten_params(
-        prog.params if prog is not None else {})
-    shadow_const, TL, TS = _shadow_const_vector(data, static, params,
-                                                n_leaves, NL, K)
+    shadow_cfg, shadow_const = _shadow_cfg_const(data, static, s)
+    L, VM, TL = shadow_cfg.L, shadow_cfg.VM, shadow_cfg.TL
     n_shadow_const = int(shadow_const.shape[0])
 
     mis = bool(s.mis) and K > 0 and NL > 0
@@ -1593,23 +1741,6 @@ def bounce_tail_fused(data, static, settings, tables, depth: int,
     const = jnp.concatenate([shadow_const, mis_const]).reshape(1, -1)
     n_const = const.shape[1]
 
-    shadow_prog = (prog.reduced(s.shadow_de_iterations)
-                   if prog is not None else None)
-    detail = s.sdf_detail_scale * s.shadow_eps_scale
-    bv_r = float(static.sdf_bound_radius) if s.shadow_bv_clip else 0.0
-    shadow_cfg = (
-        shadow_prog.fn_c if shadow_prog is not None else None,
-        treedef, n_leaves, s.sampler, s.num_1d_sets,
-        L, VM, NL, K,
-        static.has_extinction, static.has_scattering,
-        1e-4 * detail, 1e-5 * detail, s.max_vis_marches,
-        (NL / L) if L else 0.0,
-        (NL / L / VM) if (L and VM) else 0.0,
-        bv_r,
-        bool(s.mis), bool(s.compat_spec_reflect),
-        TL, TS,
-        max(1, int(s.chained_advance_group)) if s.chained_shadow_march else 0,
-    )
     finish_cfg = (s.sampler, s.num_1d_sets,
                   (s.compat_spec_reflect, s.compat_spec_phi),
                   mis, K, NL, s.nee_light_samples, TL)
@@ -1680,12 +1811,8 @@ def bounce_tail_fused(data, static, settings, tables, depth: int,
         _to_rows(state.prev_pdf, rows),
         _to_rows(hit.obj, rows),
     ]
-    if TL > 1:
-        for lp in _site_light_positions(data, s, tables, depth, NL, L,
-                                        VM, state.sample_idx,
-                                        state.pixel, state.time):
-            for c in range(3):
-                args.append(_to_rows(lp[:, c], rows))
+    args += _site_args(data, s, tables, depth, shadow_cfg,
+                       state.sample_idx, state.pixel, state.time, rows)
     for m in range(VM):
         for i in range(L):
             args.append(_to_rows(vol_dists[m][i], rows))
@@ -1751,45 +1878,16 @@ def shadow_radiance(data, static, settings, tables, depth: int,
     kernel recomputes the same light pick bit-identically — the sampler
     is pure u32 arithmetic)."""
     s = settings
-    prog = static.sdf_program(data) if static.has_sdf else None
     n = point.shape[0]
     block_rows = max(block_rows, 8)
     block = block_rows * LANES
     n_pad = -(-n // block) * block
     rows = n_pad // LANES
 
-    NL = int(static.n_lights)
-    K = int(static.n_spheres)
-    L = s.nee_light_samples if NL > 0 else 0
-    VM = s.volume_marches if (static.has_scattering and NL > 0) else 0
-
-    params, treedef, n_leaves = _flatten_params(
-        prog.params if prog is not None else {})
-    const, TL, TS = _shadow_const_vector(data, static, params, n_leaves,
-                                         NL, K)
+    cfg, const = _shadow_cfg_const(data, static, s)
+    L, VM = cfg.L, cfg.VM
     const = const.reshape(1, -1)
     n_const = const.shape[1]
-
-    # Shadow-march cost reduction (BASELINE.md round-3 study): truncated
-    # DE iterations, scaled epsilons, bounding-volume clip — all applied
-    # to the visibility marches only, mirroring intersect.test_occluded.
-    shadow_prog = (prog.reduced(s.shadow_de_iterations)
-                   if prog is not None else None)
-    detail = s.sdf_detail_scale * s.shadow_eps_scale
-    bv_r = float(static.sdf_bound_radius) if s.shadow_bv_clip else 0.0
-    cfg = (
-        shadow_prog.fn_c if shadow_prog is not None else None,
-        treedef, n_leaves, s.sampler, s.num_1d_sets,
-        L, VM, NL, K,
-        static.has_extinction, static.has_scattering,
-        1e-4 * detail, 1e-5 * detail, s.max_vis_marches,
-        (NL / L) if L else 0.0,
-        (NL / L / VM) if (L and VM) else 0.0,
-        bv_r,
-        bool(s.mis), bool(s.compat_spec_reflect),
-        TL, TS,
-        max(1, int(s.chained_advance_group)) if s.chained_shadow_march else 0,
-    )
     set_ids = (
         [rng_mod.set1d_light_pick(s, depth, i) for i in range(L)]
         + [rng_mod.set2d_nee(s, depth, i) for i in range(L)]
@@ -1820,11 +1918,8 @@ def shadow_radiance(data, static, settings, tables, depth: int,
         _to_rows(receives.astype(jnp.int32), rows),
         _to_rows(time, rows),
     ]
-    if TL > 1:
-        for lp in _site_light_positions(data, s, tables, depth, NL, L,
-                                        VM, sample_idx, pixel, time):
-            for c in range(3):
-                args.append(_to_rows(lp[:, c], rows))
+    args += _site_args(data, s, tables, depth, cfg, sample_idx, pixel,
+                       time, rows)
     for m in range(VM):
         for i in range(L):
             args.append(_to_rows(vol_dists[m][i], rows))
@@ -1866,42 +1961,16 @@ def shadow_sort_key(data, static, settings, tables, depth: int,
     scheduling data: the key never feeds a verdict or a radiance term,
     so any approximation here is performance-only."""
     s = settings
-    prog = static.sdf_program(data) if static.has_sdf else None
     n = point.shape[0]
     block_rows = max(block_rows, 8)
     block = block_rows * LANES
     n_pad = -(-n // block) * block
     rows = n_pad // LANES
 
-    NL = int(static.n_lights)
-    K = int(static.n_spheres)
-    L = s.nee_light_samples if NL > 0 else 0
-    VM = s.volume_marches if (static.has_scattering and NL > 0) else 0
-
-    params, treedef, n_leaves = _flatten_params(
-        prog.params if prog is not None else {})
-    const, TL, TS = _shadow_const_vector(data, static, params, n_leaves,
-                                         NL, K)
+    cfg, const = _shadow_cfg_const(data, static, s)
+    L, VM = cfg.L, cfg.VM
     const = const.reshape(1, -1)
     n_const = const.shape[1]
-
-    shadow_prog = (prog.reduced(s.shadow_de_iterations)
-                   if prog is not None else None)
-    detail = s.sdf_detail_scale * s.shadow_eps_scale
-    bv_r = float(static.sdf_bound_radius) if s.shadow_bv_clip else 0.0
-    cfg = (
-        shadow_prog.fn_c if shadow_prog is not None else None,
-        treedef, n_leaves, s.sampler, s.num_1d_sets,
-        L, VM, NL, K,
-        static.has_extinction, static.has_scattering,
-        1e-4 * detail, 1e-5 * detail, s.max_vis_marches,
-        (NL / L) if L else 0.0,
-        (NL / L / VM) if (L and VM) else 0.0,
-        bv_r,
-        bool(s.mis), bool(s.compat_spec_reflect),
-        TL, TS,
-        max(1, int(s.chained_advance_group)) if s.chained_shadow_march else 0,
-    )
     set_ids = (
         [rng_mod.set1d_light_pick(s, depth, i) for i in range(L)]
         + [rng_mod.set2d_nee(s, depth, i) for i in range(L)]
@@ -1925,11 +1994,8 @@ def shadow_sort_key(data, static, settings, tables, depth: int,
         _to_rows(receives.astype(jnp.int32), rows),
         _to_rows(time, rows),
     ]
-    if TL > 1:
-        for lp in _site_light_positions(data, s, tables, depth, NL, L,
-                                        VM, sample_idx, pixel, time):
-            for c in range(3):
-                args.append(_to_rows(lp[:, c], rows))
+    args += _site_args(data, s, tables, depth, cfg, sample_idx, pixel,
+                       time, rows)
     for m in range(VM):
         for i in range(L):
             args.append(_to_rows(vol_dists[m][i], rows))

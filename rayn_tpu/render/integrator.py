@@ -90,11 +90,16 @@ def _sort_chunk(n: int) -> int:
     (pack/interleave bound; tools/perf_sorted_decomp.py) and ate the
     entire 206 ms/M scheduling win. 128 lanes (one Pallas row) measured
     the sweep optimum: 618.7 vs 623.6 ms/pass at 512 with advance
-    grouping on (tools/perf_sorted_chunk_sweep.py, 2026-08-19)."""
+    grouping on (tools/perf_sorted_chunk_sweep.py, 2026-08-19).
+
+    Returns 0 when no supported chunk divides `n` — the caller then
+    SKIPS cost-sorting for the pass (with a one-time warning) instead
+    of silently shipping the chunk=1 per-lane permutation this repo
+    measured as a 95 ms/M pathology (tools/perf_sorted_decomp.py)."""
     for chunk in (128, 512, 8):
         if n % chunk == 0:
             return chunk
-    return 1
+    return 0
 
 
 def _permute_chunks(tree, perm, chunk: int):
@@ -191,9 +196,7 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
         hps_lin = jnp.full((n,), 2e-4 * depth, jnp.float32)
 
     from rayn_tpu.ops import intersect_pallas
-    if intersect_pallas.fused_intersect_ok(
-            s, static, data,
-            static.sdf_program(data) if static.has_sdf else None):
+    if intersect_pallas.fused_intersect_ok(s, static, data):
         hit, info = intersect_pallas.closest_hit_shading(
             data, static, s, state.origin, state.direction,
             hps_abs, hps_lin, state.alive, state.time,
@@ -222,9 +225,8 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
     # emission is added after the shadow delta instead of before (f32
     # association only).
     from rayn_tpu.ops import shade_pallas
-    _prog_probe = static.sdf_program(data) if static.has_sdf else None
     if (s.use_fused_finish
-            and shade_pallas.fused_ok(s, static, data, _prog_probe)):
+            and shade_pallas.fused_ok(s, static, data)):
         # Cost-sorted scheduling: pack rays with expensive shadow
         # chains into the same Pallas blocks (bit-identical per lane;
         # unsorted back before returning — see _sort_by_cost).
@@ -234,9 +236,19 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
         unsort_iota = None
         if sort_on:
             chunk = s.sorted_chunk or _sort_chunk(n)
-            if n % chunk:
+            if s.sorted_chunk and n % chunk:
                 raise ValueError(
                     f"sorted_chunk={chunk} must divide rays_per_pass={n}")
+            if chunk == 0:
+                # No supported chunk divides this pass size; per-lane
+                # permutation is the measured 95 ms/M pathology, so skip
+                # sorting (bit-identical — sorting is scheduling only).
+                shade_pallas.warn_fallback(
+                    "cost-sorted shadow scheduling",
+                    f"pass size {n} is not divisible by any supported "
+                    "sort chunk (128/512/8); rendering unsorted")
+                sort_on = False
+        if sort_on:
             vd0, _ = _equi_angular_samples(data, static, s, tables,
                                            state, hit, depth)
             cost = shade_pallas.shadow_sort_key(
@@ -315,7 +327,7 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
     # star): one big march kernel launch per bounce instead of 12, with
     # contributions applied afterwards as contrib * visibility.
     if static.n_lights > 0:
-        if shade_pallas.fused_ok(s, static, data, _prog_probe):
+        if shade_pallas.fused_ok(s, static, data):
             radiance = radiance + shade_pallas.shadow_radiance(
                 data, static, s, tables, depth,
                 info.point, info.normal, info.offset_by,

@@ -34,9 +34,9 @@ def default_scene(resolution=(1280, 720), world_radius: float = 100.0,
     With `animated_geo=True` the sphere lights and their paired emissive
     spheres orbit over [0, 2] s — animated GEOMETRY channels (the
     reference's `WSequenced` sphere centers, src/sphere.rs:49 +
-    src/animation.rs:55-68), exercising the multi-knot fast path in the
-    fused kernels (geo_knots <= shade_pallas.MAX_SMEM_KNOTS stays
-    fused)."""
+    src/animation.rs:55-68), exercising the animated fast path in the
+    fused kernels (any knot count runs fused since round 5 — positions
+    are resolved outside the kernels at each lane's time)."""
     b = SceneBuilder()
 
     def _orbit_channel(pos, rate=0.25, phase=0.0):

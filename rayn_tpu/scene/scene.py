@@ -72,11 +72,11 @@ class SceneData(NamedTuple):
 
 @dataclasses.dataclass(frozen=True)
 class SdfInstanceStatic:
-    """Static half of an SDF instance past the first (the first lives in
-    SceneStatic's sdf_* fields so the single-SDF fast paths stay
-    untouched). The reference's HitableStore holds any number of
-    TracedSDFs, each with its own material
-    (src/hitable.rs:143-161, fold :170-210)."""
+    """Static half of an SDF instance past the first (the first lives
+    in SceneStatic's sdf_* fields). The reference's HitableStore holds
+    any number of TracedSDFs, each with its own material
+    (src/hitable.rs:143-161, fold :170-210); all instances run through
+    the fused Pallas kernels (in-kernel folds, round 5)."""
     fn: Callable
     fn_c: Optional[Callable]
     mat: int
@@ -104,9 +104,9 @@ class SceneStatic:
     # clip segments to the bounding volume (see ops/march.py occlusion).
     sdf_bound_radius: float = 0.0
     # SDF instances beyond the first: tuple of SdfInstanceStatic, params
-    # in SceneData.extra_sdf_params. Non-empty tuples gate the fused
-    # single-SDF Pallas kernels off (unfused fold path, one-time
-    # warning); object ids follow the first SDF (n_spheres + 1 + i).
+    # in SceneData.extra_sdf_params. All instances run through the fused
+    # Pallas kernels (in-kernel closest/occlusion folds, round 5);
+    # object ids follow the first SDF (n_spheres + 1 + i).
     extra_sdfs: tuple = ()
     # per-shading-point material parameters — the reference's
     # WShadingParamGenerator surface (src/material.rs:75-83): tuple of

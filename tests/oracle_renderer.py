@@ -501,7 +501,11 @@ def render_oracle(data, static, settings, camera, frame, time_range,
                     new_tp = tp * vol_trans * f * ndl / pdf
                     if depth > 2:
                         rf = max(1.0 - tp.max(), 0.05)
-                        new_tp = new_tp / (1.0 - rf)
+                        # rf == 1.0 only for black throughput (0/0 would
+                        # warn); the path is roulette-killed below (ur <
+                        # 1.0 always) and new_tp is never consumed.
+                        if rf < 1.0:
+                            new_tp = new_tp / (1.0 - rf)
                     else:
                         rf = 0.0
                     ur = sampler.u1(rng_mod.set1d_roulette(s, depth), pix,

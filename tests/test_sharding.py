@@ -192,9 +192,8 @@ def test_fused_kernels_under_shard_map(monkeypatch):
 
     s = settings()
     data, static, cam = presets.default_scene(resolution=s.resolution)
-    prog = static.sdf_program(data)
-    assert shade_pallas.fused_ok(s, static, data, prog)
-    assert intersect_pallas.fused_intersect_ok(s, static, data, prog)
+    assert shade_pallas.fused_ok(s, static, data)
+    assert intersect_pallas.fused_intersect_ok(s, static, data)
 
     tables = rng.build_sample_tables(s, frame=1)
     fis = filter_ops.build_fis_table(filter_ops.blackman_harris(1.5),

@@ -181,12 +181,17 @@ def main():
                          "flat 2^19-2^22), except the cheap spheres "
                          "config where 2^22 amortizes per-pass overhead "
                          "(34.2 vs 31.8 Ms/s)")
-    ap.add_argument("--sync-every", type=int, default=4,
-                    help="scalar-readback sync cadence in passes. The "
-                         "axon tunnel roundtrip is ~44 ms/sync; 4-deep "
-                         "queues measured safe (1.465 vs 1.408 Ms/s at "
-                         "1) while ~90-deep queues are 5x slower — keep "
+    ap.add_argument("--sync-every", type=int, default=8,
+                    help="max passes in flight before blocking on the "
+                         "oldest probe. The axon tunnel roundtrip is "
+                         "~44 ms/sync; shallow queues measured safe "
+                         "while ~90-deep queues are 5x slower — keep "
                          "this small")
+    ap.add_argument("--dispatch", type=int, default=4,
+                    help="passes per device dispatch "
+                         "(renderer.render_passes fori_loop group); "
+                         "each dispatch costs ~tens of ms of host "
+                         "overhead under the axon tunnel")
     ap.add_argument("--compact", action="store_true",
                     help="compact the wavefront between bounces")
     ap.add_argument("--config", default="fractal",
@@ -270,12 +275,21 @@ def main():
     # compile/run on this backend (e.g. a Mosaic VMEM limit on a new
     # libtpu), fall back LOUDLY rather than failing the benchmark —
     # the measured number is then the sequential scheduling's.
+    # The warmup compiles render_passes — the SAME program the timed
+    # loop dispatches (n_passes is a traced scalar, so one compile
+    # serves every group size including this k=1 warm pass); warming
+    # render_pass instead would leave a multi-minute axon-tunnel
+    # compile inside the timed region.
+    def warm(f, cfg):
+        f = renderer.render_passes(f, data, static, cfg, tables, camera,
+                                   fis, jnp.int32(0), rays_per_pass,
+                                   jnp.int32(1), t0c, t1c)
+        sync(f)
+        return f
+
     t_compile = time.perf_counter()
     try:
-        film = renderer.render_pass(film, data, static, settings, tables,
-                                    camera, fis, jnp.int32(0),
-                                    rays_per_pass, t0c, t1c)
-        sync(film)
+        film = warm(film, settings)
     except Exception as e:
         if not settings.chained_shadow_march:
             raise
@@ -289,24 +303,14 @@ def main():
             settings = dataclasses.replace(settings,
                                            sorted_shadow_march=False)
             try:
-                film = film_mod.new_film(n_pixels)
-                film = renderer.render_pass(film, data, static, settings,
-                                            tables, camera, fis,
-                                            jnp.int32(0), rays_per_pass,
-                                            t0c, t1c)
-                sync(film)
+                film = warm(film_mod.new_film(n_pixels), settings)
             except Exception as e2:
                 print(f"# WARNING: chained shadow march failed on this "
                       f"backend ({type(e2).__name__}: {e2}); falling "
                       f"back to sequential scheduling", file=sys.stderr)
                 settings = dataclasses.replace(
                     settings, chained_shadow_march=False)
-                film = film_mod.new_film(n_pixels)
-                film = renderer.render_pass(film, data, static, settings,
-                                            tables, camera, fis,
-                                            jnp.int32(0), rays_per_pass,
-                                            t0c, t1c)
-                sync(film)
+                film = warm(film_mod.new_film(n_pixels), settings)
         else:
             print(f"# WARNING: chained shadow march failed on this "
                   f"backend ({type(e).__name__}: {e}); falling back to "
@@ -314,40 +318,45 @@ def main():
             settings = dataclasses.replace(settings,
                                            chained_shadow_march=False,
                                            sorted_shadow_march=False)
-            film = film_mod.new_film(n_pixels)
-            film = renderer.render_pass(film, data, static, settings,
-                                        tables, camera, fis, jnp.int32(0),
-                                        rays_per_pass, t0c, t1c)
-            sync(film)
+            film = warm(film_mod.new_film(n_pixels), settings)
     compile_s = time.perf_counter() - t_compile
 
-    # Per-pass sync: besides making the timing trustworthy, letting
-    # passes queue up asynchronously is ~5x SLOWER under the axon
+    # Bounded async queue, pipelined (mirrors renderer.render_frame):
+    # letting passes queue up unboundedly is ~5x SLOWER under the axon
     # runtime (measured 1.77 s vs 0.35 s per 2^18-ray pass with a
-    # ~90-deep queue), so this is also the fast path.
+    # ~90-deep queue), so at most ~`sync_every` passes are in flight —
+    # but the host blocks on a non-donated scalar probe from
+    # `sync_every` passes AGO, so the ~44 ms readback roundtrip
+    # overlaps queued device work instead of idling the chip. Passes
+    # are additionally batched `dispatch` per device call
+    # (renderer.render_passes: one fori_loop program, identical per-ray
+    # work) — each dispatch carries ~tens of ms of host overhead under
+    # the axon tunnel (round-5 measurement: ~53 ms/pass at 512x512 with
+    # per-pass dispatches even after pipelined probes).
+    import collections
+    probes = collections.deque()
     done = rays_per_pass
     timed_rays = 0
-    queued = 0
     t_start = time.perf_counter()
     while done < total and (time.perf_counter() - t_start) < args.max_seconds:
-        film = renderer.render_pass(film, data, static, settings, tables,
-                                    camera, fis, jnp.int32(done),
-                                    rays_per_pass, t0c, t1c)
-        queued += 1
-        if queued >= args.sync_every:
-            sync(film)
-            queued = 0
-        done += rays_per_pass
-        timed_rays += rays_per_pass
+        k = max(1, min(args.dispatch, (total - done) // rays_per_pass))
+        film = renderer.render_passes(film, data, static, settings,
+                                      tables, camera, fis,
+                                      jnp.int32(done), rays_per_pass,
+                                      jnp.int32(k), t0c, t1c)
+        probes.append((k, film.samples[-1]))
+        if sum(g for g, _ in probes) >= args.sync_every:
+            float(probes.popleft()[1])
+        done += rays_per_pass * k
+        timed_rays += rays_per_pass * k
+    while probes:
+        float(probes.popleft()[1])
     sync(film)
     elapsed = time.perf_counter() - t_start
 
     if timed_rays == 0:  # single-pass workload: fall back to the warm pass
         t = time.perf_counter()
-        film = renderer.render_pass(film, data, static, settings, tables,
-                                    camera, fis, jnp.int32(0),
-                                    rays_per_pass, t0c, t1c)
-        sync(film)
+        film = warm(film, settings)
         elapsed = time.perf_counter() - t
         timed_rays = rays_per_pass
 

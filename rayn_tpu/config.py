@@ -200,6 +200,15 @@ class RenderSettings:
     # per-lane granularity is gather-bound (see sorted_shadow_march).
     sorted_chunk: int = 0
 
+    # Chunk-sort the wavefront by a PRE-intersect primary-march cost key
+    # (sphere-fold bound over first DE, integrator._intersect_cost_key)
+    # at depths >= 1, composing with the shadow sort's permutation for
+    # one unsort at bounce end. Bit-identical (block membership only).
+    # The captured-queue model (tools/perf_block_model.py) measures
+    # 1.34x fewer intersect-march lane-iterations at depths 1-3; depth 0
+    # stays pixel-major (sorting it is a measured loss in the model).
+    sorted_intersect: bool = True
+
     # Two-phase occlusion march: phase 1 marches the whole shadow queue
     # this many steps, then the unresolved stragglers are stable-
     # partitioned to the front and finished densely (all-resolved tail

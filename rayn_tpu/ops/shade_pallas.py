@@ -142,18 +142,20 @@ def _unpack_instances(sdfs, const_ref):
     return prms, base
 
 
-def warn_fallback(feature: str, reason: str) -> None:
-    """Warn (once per feature+reason per process) that a fused fast path
-    is unavailable and the unfused path will be used."""
+def warn_fallback(feature: str, reason: str,
+                  consequence: str = "falling back to the ~2x slower "
+                                     "unfused path for this render") -> None:
+    """Warn (once per feature+reason per process) that a fast path is
+    unavailable. The default consequence describes the fused-kernel
+    fallback; scheduling-only features (cost sorting) pass their own —
+    they never change which kernels run, only their block packing."""
     key = (feature, reason)
     if key in _WARNED:
         return
     _WARNED.add(key)
     import warnings
-    warnings.warn(
-        f"rayn_tpu: {feature} unavailable ({reason}); falling back to "
-        "the ~2x slower unfused path for this render",
-        RuntimeWarning, stacklevel=3)
+    warnings.warn(f"rayn_tpu: {feature} unavailable ({reason}); "
+                  f"{consequence}", RuntimeWarning, stacklevel=3)
 
 
 def _eligibility_reason(settings, static, data) -> str | None:

@@ -113,18 +113,23 @@ def _permute_chunks(tree, perm, chunk: int):
     return jax.tree.map(one, tree)
 
 
-def _sort_by_cost(state: PathState, hit, info, key, chunk: int):
-    """Sort the whole per-ray bounce state by DESCENDING per-chunk cost
-    key: reduce the per-lane key over chunks, one tiny 2-column
-    `lax.sort` produces the chunk permutation, row-granular takes apply
-    it (`_permute_chunks`). Sorting changes only which Pallas block a
-    chunk lands in; every per-lane output is position-independent, and
+def _sort_tree_by_cost(tree, key, chunk: int):
+    """Sort any per-ray pytree by DESCENDING per-chunk cost key: reduce
+    the per-lane key over chunks, one tiny 2-column `lax.sort` produces
+    the chunk permutation, row-granular takes apply it
+    (`_permute_chunks`). Sorting changes only which Pallas block a chunk
+    lands in; every per-lane output is position-independent, and
     `_unsort_state` restores the exact original order before the film
     splat, so results are bit-identical to the unsorted path."""
     ckey = jnp.sum(key.reshape(-1, chunk), axis=-1)
     iota = jnp.arange(ckey.shape[0], dtype=jnp.int32)
     _, perm = jax.lax.sort([-ckey, iota], num_keys=1)
-    state, hit, info = _permute_chunks((state, hit, info), perm, chunk)
+    return _permute_chunks(tree, perm, chunk), perm
+
+
+def _sort_by_cost(state: PathState, hit, info, key, chunk: int):
+    (state, hit, info), perm = _sort_tree_by_cost((state, hit, info),
+                                                  key, chunk)
     return state, hit, info, perm
 
 
@@ -134,6 +139,39 @@ def _unsort_state(state: PathState, perm, chunk: int) -> PathState:
     iota = jnp.arange(perm.shape[0], dtype=jnp.int32)
     _, inv = jax.lax.sort([perm, iota], num_keys=1)
     return _permute_chunks(state, inv, chunk)
+
+
+def _intersect_cost_key(data: SceneData, static: SceneStatic,
+                        settings: RenderSettings, state: PathState):
+    """Estimated primary-march step count per lane, computable BEFORE
+    the intersect: segment-to-scene-bound over the first DE step (the
+    same md/t0 estimate as shade_pallas._segment_cost, applied to the
+    closest-hit march whose t_max is the sphere-fold closest). Plain
+    jnp — the sphere quadratics and one DE per instance fuse into the
+    pass for ~1 ms/M; the model (tools/perf_block_model.py) puts the
+    chunk-sorted win at 1.34x fewer intersect-march lane-iterations at
+    depths >= 1 (depth 0 is already pixel-coherent; sorting it HURTS)."""
+    from rayn_tpu.ops import spheres as sphere_ops
+    from rayn_tpu.scene.scene import sphere_centers_at
+
+    n = state.origin.shape[0]
+    t_max0 = 2.0 * settings.world_radius
+    if static.n_spheres:
+        centers = sphere_centers_at(data, state.time)
+        ts = sphere_ops.hit(state.origin, state.direction, centers,
+                            data.sphere_radii,
+                            jnp.full((n,), t_max0, jnp.float32))
+        bound = jnp.minimum(jnp.min(ts, axis=-1), t_max0)
+    else:
+        bound = jnp.full((n,), t_max0, jnp.float32)
+    key = jnp.zeros((n,), jnp.float32)
+    for prog, _mat, _bv in static.sdf_instances(data):
+        d0 = prog.dist(state.origin)
+        est = jnp.minimum(bound / jnp.maximum(d0, 1e-6),
+                          float(settings.max_marches))
+        key = key + jnp.where(state.alive & jnp.logical_not(jnp.isnan(d0)),
+                              est, 1.0)
+    return key
 
 
 def _pick_lights(settings: RenderSettings, static: SceneStatic, u: jnp.ndarray):
@@ -194,6 +232,45 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
     else:
         hps_abs = jnp.zeros((n,), jnp.float32)
         hps_lin = jnp.full((n,), 2e-4 * depth, jnp.float32)
+
+    # Pre-intersect cost sort (depths >= 1): pack bounce rays with
+    # expensive primary marches into the same Pallas blocks before the
+    # fused intersect. Bit-identical — block membership only; the
+    # bounce's output is unsorted back (composed with the shadow sort's
+    # permutation) before returning. Depth 0 stays in pixel-major order,
+    # which the model measures as already better than any computable key
+    # (tools/perf_block_model.py).
+    pre_perm = None
+    chunk_pre = 0
+    if (s.sorted_intersect and depth > 0 and static.has_sdf
+            and s.use_pallas):
+        chunk_pre = s.sorted_chunk or _sort_chunk(n)
+        if s.sorted_chunk and n % chunk_pre:
+            raise ValueError(
+                f"sorted_chunk={chunk_pre} must divide rays_per_pass={n}")
+        if chunk_pre:
+            key0 = _intersect_cost_key(data, static, s, state)
+            state, pre_perm = _sort_tree_by_cost(state, key0, chunk_pre)
+        else:
+            from rayn_tpu.ops.shade_pallas import warn_fallback
+            warn_fallback(
+                "pre-intersect cost sorting",
+                f"pass size {n} is not divisible by any supported "
+                "sort chunk (128/512/8); intersecting unsorted")
+
+    def unsort_out(out: PathState, shadow_perm=None) -> PathState:
+        """Undo this bounce's permutation(s) on the output state: the
+        pre-intersect and shadow-sort chunk permutations compose into
+        one (both use the same chunk), inverted by _unsort_state."""
+        if pre_perm is not None and shadow_perm is not None:
+            return _unsort_state(out, jnp.take(pre_perm, shadow_perm),
+                                 chunk_pre)
+        if shadow_perm is not None:
+            return _unsort_state(out, shadow_perm, chunk_pre or
+                                 (s.sorted_chunk or _sort_chunk(n)))
+        if pre_perm is not None:
+            return _unsort_state(out, pre_perm, chunk_pre)
+        return out
 
     from rayn_tpu.ops import intersect_pallas
     if intersect_pallas.fused_intersect_ok(s, static, data):
@@ -270,7 +347,7 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
                                        hit, depth),
                 block_rows=s.pallas_occl_block_rows)
             out = out._replace(aovs=state.aovs)
-            return _unsort_state(out, unsort_iota, chunk) if sort_on else out
+            return unsort_out(out, unsort_iota)
         rad = state.radiance
         if static.n_lights > 0:
             rad = rad + shade_pallas.shadow_radiance(
@@ -286,7 +363,7 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
             data, static, s, tables, depth, state, hit, info, mat,
             live, receives, rad, block_rows=s.pallas_occl_block_rows)
         out = out._replace(aovs=state.aovs)
-        return _unsort_state(out, unsort_iota, chunk) if sort_on else out
+        return unsort_out(out, unsort_iota)
 
     # 2. emission. With MIS, BSDF-hit emission of an emissive sphere
     # paired with a sphere light is power-heuristic weighted against the
@@ -337,9 +414,9 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
                 *_equi_angular_samples(data, static, s, tables, state,
                                        hit, depth),
                 block_rows=s.pallas_occl_block_rows)
-            return _finish_bounce(data, static, s, tables, state, depth,
-                                  hit, info, mat, live, receives, wo,
-                                  vol_trans, radiance)
+            return unsort_out(_finish_bounce(
+                data, static, s, tables, state, depth, hit, info, mat,
+                live, receives, wo, vol_trans, radiance))
     shadow_starts, shadow_ends, shadow_active, shadow_contrib = [], [], [], []
 
     if static.n_lights > 0:
@@ -436,9 +513,9 @@ def bounce(data: SceneData, static: SceneStatic, settings: RenderSettings,
             vis = vis_all[j * n:(j + 1) * n]
             radiance = radiance + shadow_contrib[j] * vis[:, None]
 
-    return _finish_bounce(data, static, s, tables, state, depth, hit,
-                          info, mat, live, receives, wo, vol_trans,
-                          radiance)
+    return unsort_out(_finish_bounce(data, static, s, tables, state,
+                                     depth, hit, info, mat, live,
+                                     receives, wo, vol_trans, radiance))
 
 
 def _equi_angular_samples(data, static, s, tables, state, hit, depth):

@@ -75,19 +75,12 @@ def generate_rays(settings: RenderSettings, tables: SampleTables,
     return origin, direction, time, pixel, sample_idx, in_range
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("static", "settings", "pass_size",
-                                    "sample_base"),
-                   donate_argnames=("film",))
-def render_pass(film: film_mod.Film, data: SceneData, static: SceneStatic,
-                settings: RenderSettings, tables: SampleTables,
-                camera: Camera, fis_table: jnp.ndarray,
-                pass_start: jnp.ndarray, pass_size: int,
-                t0: jnp.ndarray, t1: jnp.ndarray,
-                sample_base: int = 0) -> film_mod.Film:
-    """Render one pass of rays [pass_start, pass_start+pass_size) and
-    accumulate into the film. `sample_base` shifts the per-pixel sample
-    indices (progressive spp; see generate_rays)."""
+def _pass_body(film: film_mod.Film, data: SceneData, static: SceneStatic,
+               settings: RenderSettings, tables: SampleTables,
+               camera: Camera, fis_table: jnp.ndarray,
+               pass_start: jnp.ndarray, pass_size: int,
+               t0: jnp.ndarray, t1: jnp.ndarray,
+               sample_base: int = 0) -> film_mod.Film:
     ray_idx = ray_indices(pass_start, pass_size)
     origin, direction, time, pixel, sample_idx, in_range = generate_rays(
         settings, tables, camera, fis_table, ray_idx, t0, t1, sample_base)
@@ -128,6 +121,52 @@ def render_pass(film: film_mod.Film, data: SceneData, static: SceneStatic,
         extra=state.aovs)
     return film._replace(
         samples=film.samples.at[pixel].add(in_range.astype(jnp.float32)))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("static", "settings", "pass_size",
+                                    "sample_base"),
+                   donate_argnames=("film",))
+def render_pass(film: film_mod.Film, data: SceneData, static: SceneStatic,
+                settings: RenderSettings, tables: SampleTables,
+                camera: Camera, fis_table: jnp.ndarray,
+                pass_start: jnp.ndarray, pass_size: int,
+                t0: jnp.ndarray, t1: jnp.ndarray,
+                sample_base: int = 0) -> film_mod.Film:
+    """Render one pass of rays [pass_start, pass_start+pass_size) and
+    accumulate into the film. `sample_base` shifts the per-pixel sample
+    indices (progressive spp; see generate_rays)."""
+    return _pass_body(film, data, static, settings, tables, camera,
+                      fis_table, pass_start, pass_size, t0, t1,
+                      sample_base)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("static", "settings", "pass_size",
+                                    "sample_base"),
+                   donate_argnames=("film",))
+def render_passes(film: film_mod.Film, data: SceneData,
+                  static: SceneStatic, settings: RenderSettings,
+                  tables: SampleTables, camera: Camera,
+                  fis_table: jnp.ndarray, pass_start: jnp.ndarray,
+                  pass_size: int, n_passes: jnp.ndarray,
+                  t0: jnp.ndarray, t1: jnp.ndarray,
+                  sample_base: int = 0) -> film_mod.Film:
+    """Render `n_passes` consecutive passes in ONE device dispatch (a
+    lax.fori_loop over the pass body, film as the carry). Per-ray work
+    is identical to calling render_pass n_passes times; only the
+    host<->device dispatch cadence changes — under the axon tunnel each
+    dispatch carries ~tens of ms of host overhead (round-5 measurement:
+    ~53 ms/pass at 512x512 even with pipelined probe syncs), so
+    batching 4-8 passes per dispatch amortizes it. `n_passes` is a
+    traced scalar: one compiled program serves any group size,
+    including the tail group."""
+    def body(i, f):
+        return _pass_body(f, data, static, settings, tables, camera,
+                          fis_table, pass_start + i * pass_size,
+                          pass_size, t0, t1, sample_base)
+
+    return jax.lax.fori_loop(0, n_passes, body, film)
 
 
 # Test-only fault injection point: called with the pass index after every
@@ -179,7 +218,8 @@ def render_frame(data: SceneData, static: SceneStatic,
                  checkpoint_path: Optional[str] = None,
                  checkpoint_every: int = 4,
                  progress: Optional[callable] = None,
-                 sync_every: int = 4,
+                 sync_every: int = 8,
+                 passes_per_dispatch: int = 4,
                  mesh=None) -> film_mod.Film:
     """Render a full frame, splitting the (pixel, sample) grid into
     HBM-sized passes. Default frame timing matches reference
@@ -275,33 +315,65 @@ def render_frame(data: SceneData, static: SceneStatic,
                     mesh, film, data, static, _s, tables, camera,
                     fis_table, pass_start, _pd, t0, t1, sample_base=_base)
 
-        for p in range(start_pass, n_passes):
+        import collections
+        probes = collections.deque()
+        # Dispatch cadence: under the axon tunnel each device dispatch
+        # carries ~tens of ms of host overhead (round-5: ~53 ms/pass at
+        # 512x512 even with pipelined probe syncs), so passes are
+        # batched `passes_per_dispatch` per render_passes call (one
+        # fori_loop program, identical per-ray work). Groups clamp to
+        # checkpoint boundaries so checkpoint_every keeps its pass-
+        # granular meaning; the mesh path stays per-pass (its dispatch
+        # is the shard_map program).
+        group_max = max(1, passes_per_dispatch) if mesh is None else 1
+        p = start_pass
+        while p < n_passes:
+            group = min(group_max, n_passes - p)
+            if checkpoint_path:
+                group = min(group, checkpoint_every
+                            - (p % checkpoint_every))
             if mesh is None:
-                film = render_pass(film, data, static, seg_settings,
-                                   tables, camera, fis_table,
-                                   jnp.int32(p * pass_size), pass_size,
-                                   t0, t1, sample_base=sb)
+                film = render_passes(film, data, static, seg_settings,
+                                     tables, camera, fis_table,
+                                     jnp.int32(p * pass_size), pass_size,
+                                     jnp.int32(group), t0, t1,
+                                     sample_base=sb)
             else:
                 film = _sharded_pass(film, data, tables, camera, fis_table,
                                      jnp.int32(p * pass_size), t0, t1)
             if _FAIL_HOOK is not None:
-                _FAIL_HOOK(p)
-            # Bounded async queue: a scalar-readback sync costs a ~44 ms
-            # tunnel roundtrip under axon, but letting donated-film
-            # passes queue ~90 deep measured ~5x slower per pass.
-            # Syncing every few passes keeps the queue shallow (measured
-            # safe and ~4% faster than per-pass at sync_every=4) — and a
-            # checkpoint save always syncs via its host transfer.
+                # per-pass contract: one call per completed pass index
+                for p_i in range(p, p + group):
+                    _FAIL_HOOK(p_i)
+            # Bounded async queue, pipelined: letting donated-film passes
+            # queue ~90 deep measured ~5x slower per pass, so the queue
+            # is capped at `sync_every` in-flight passes — but instead of
+            # blocking on the dispatch just issued (which idles the
+            # device for the ~44 ms axon readback roundtrip, round-2
+            # measurement), each dispatch enqueues a tiny non-donated
+            # scalar probe (film.samples[-1], dispatched before the film
+            # is donated to the next group) and the host blocks on the
+            # OLDEST probe once `sync_every` passes are in flight,
+            # overlapping the roundtrip with queued device work. A
+            # checkpoint save still fully drains (its host transfer must
+            # see a finished film).
+            probes.append((group, film.samples[-1]))
             want_ckpt = checkpoint_path and (
-                (p + 1) % checkpoint_every == 0 or p + 1 == n_passes)
-            if (p + 1) % sync_every == 0 or p + 1 == n_passes or want_ckpt:
-                float(film.samples[-1])
-            done = min(done + pass_size, grand_total)
+                (p + group) % checkpoint_every == 0
+                or p + group == n_passes)
+            if want_ckpt or p + group == n_passes:
+                while probes:
+                    float(probes.popleft()[1])
+            elif sum(g for g, _ in probes) >= sync_every:
+                float(probes.popleft()[1])
+            done = min(done + pass_size * group, grand_total)
             if progress is not None:
                 progress(done, grand_total)
             if want_ckpt:
                 from rayn_tpu.render import checkpoint as ckpt
-                ckpt.save(checkpoint_path, film, settings, frame, p + 1,
-                          scene=data, camera=camera, fis_table=fis_table,
-                          time_range=time_range, spp_base=sb, spp=st)
+                ckpt.save(checkpoint_path, film, settings, frame,
+                          p + group, scene=data, camera=camera,
+                          fis_table=fis_table, time_range=time_range,
+                          spp_base=sb, spp=st)
+            p += group
     return film

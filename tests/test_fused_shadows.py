@@ -412,14 +412,16 @@ def test_sorted_indivisible_pass_warns_and_skips(interpret_fused):
     res = (25, 25)
     base = RenderSettings(resolution=res, spp=1, max_marches=64,
                           max_vis_marches=48, rays_per_pass=n,
-                          sorted_shadow_march=False)
+                          sorted_shadow_march=False,
+                          sorted_intersect=False)
     data, static, camera = presets.default_scene(resolution=res)
     plain = _run_bounces(base, data, static, camera, n, depths=(1,))
 
     shade_pallas._WARNED.clear()
     with pytest.warns(RuntimeWarning, match="sort chunk"):
         srt = _run_bounces(
-            dataclasses.replace(base, sorted_shadow_march=True),
+            dataclasses.replace(base, sorted_shadow_march=True,
+                                sorted_intersect=True),
             data, static, camera, n, depths=(1,))
     for a, b in zip(plain, srt):
         for field in ("radiance", "throughput", "alive", "color_out"):
@@ -471,3 +473,35 @@ def test_shadow_sort_key_prices_segments(interpret_fused):
     dead = ~np.asarray(receives) & ~np.asarray(live)
     if dead.any():
         assert np.allclose(key[dead], segs)
+
+
+def test_sorted_intersect_bit_identical(interpret_fused):
+    """sorted_intersect chunk-sorts the wavefront by the pre-intersect
+    primary-march cost key at depths >= 1 (composing with the shadow
+    sort's permutation for one unsort at bounce end) — block membership
+    is the only thing that changes, so the whole PathState must be
+    BIT-identical with it on/off, at every depth, with the shadow sort
+    both on and off (round-5: tools/perf_block_model.py)."""
+    n = 512
+    res = (32, 32)
+    for shadow_sort in (True, False):
+        base = RenderSettings(resolution=res, spp=4, max_marches=64,
+                              max_vis_marches=48, rays_per_pass=n,
+                              sorted_shadow_march=shadow_sort,
+                              sorted_intersect=False)
+        data, static, camera = presets.default_scene(resolution=res)
+        plain = _run_bounces(base, data, static, camera, n,
+                             depths=(0, 1, 2))
+        srt = _run_bounces(
+            dataclasses.replace(base, sorted_intersect=True),
+            data, static, camera, n, depths=(0, 1, 2))
+        for d, (a, b) in enumerate(zip(plain, srt)):
+            for field in ("radiance", "throughput", "origin",
+                          "direction", "alive", "pixel", "sample_idx",
+                          "prev_pdf", "color_out", "bg_out",
+                          "alpha_out", "normal_out", "time"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(a, field)),
+                    np.asarray(getattr(b, field)),
+                    err_msg=f"{field} differs at depth {d} "
+                            f"shadow_sort={shadow_sort}")

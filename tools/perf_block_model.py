@@ -141,6 +141,67 @@ def chunk_order(key, chunk):
             + np.arange(chunk)[None, :]).reshape(-1)
 
 
+def two_tier_order(key, chunk, head_frac, fine_key=None):
+    """Chunk-sort globally, then PER-LANE sort the head `head_frac` of
+    the queue by `fine_key` (defaults to `key`). The per-lane gather is
+    affordable because it touches only the head slice (contiguous after
+    the chunk permutation): ~2 ms/column/M * head_frac vs the full
+    per-lane 95 ms/M pathology (tools/perf_sorted_decomp.py)."""
+    order = chunk_order(key, chunk)
+    fk = key if fine_key is None else fine_key
+    h = int(len(order) * head_frac)
+    head = order[:h]
+    head = head[np.argsort(-fk[head], kind="stable")]
+    return np.concatenate([head, order[h:]])
+
+
+def recirc_cost(totals, order, B, cap):
+    """Capped phase 1 + dense straggler recirculation: every block
+    marches at most `cap` chained iterations (blocks that finish
+    earlier exit at their max as today); lanes with more remaining work
+    are compacted densely (queue order) and finished in a second
+    kernel. Returns (lane-iterations phase1+phase2, straggler_frac)."""
+    t = totals[order] if order is not None else totals
+    pad = (-len(t)) % B
+    if pad:
+        t = np.pad(t, (0, pad))
+    blocks = t.reshape(-1, B)
+    cost1 = int(np.minimum(blocks.max(axis=1), cap).sum()) * B
+    resid = t - cap
+    strag = resid[resid > 0]
+    if len(strag):
+        pad2 = (-len(strag)) % B
+        strag = np.pad(strag, (0, pad2))
+        cost2 = int(strag.reshape(-1, B).max(axis=1).sum()) * B
+    else:
+        cost2 = 0
+    return cost1 + cost2, len(strag) / len(t)
+
+
+def probe_report(steps2d, B=8192, chunk=128, caps=(2, 4, 8, 12, 16)):
+    """Probe + informed re-sort + resume: phase 1 marches every
+    segment up to C steps in queue (pixel-major) order — this runs in
+    the sort-KEY kernel, so its DE evals REPLACE march steps instead of
+    adding to them — and outputs per-segment resume t. Phase 2 (the
+    mega kernel) marches only the residual steps, chunk-sorted by a
+    POST-probe key. Two key qualities bracket reality: the TRUE
+    residual (a post-probe DE-informed estimate approaches this — an
+    unresolved-at-C segment's current DE and remaining length are
+    visible to the probe) and the crude unresolved-segment COUNT."""
+    for C in caps:
+        p = np.minimum(steps2d, C).sum(axis=0).astype(np.int64)
+        r = np.maximum(steps2d - C, 0).sum(axis=0).astype(np.int64)
+        c_probe = block_cost(p, None, B)
+        c2_true = block_cost(r, chunk_order(r.astype(np.float64), chunk),
+                             B)
+        unres = (steps2d > C).sum(axis=0).astype(np.float64)
+        c2_cnt = block_cost(r, chunk_order(unres, chunk), B)
+        print(f"    probeC{C:<2d}: probe {c_probe/1e6:6.2f} + "
+              f"p2true {c2_true/1e6:6.2f} = {(c_probe+c2_true)/1e6:6.2f}"
+              f" | p2cnt tot {(c_probe+c2_cnt)/1e6:6.2f}"
+              f" (resid lanes {100*(r>0).mean():.0f}%)")
+
+
 def report(name, totals, key, blocks, chunks):
     """Grid: rows = ordering, cols = block rows. Cells = lane-Miters."""
     n = len(totals)
@@ -148,6 +209,10 @@ def report(name, totals, key, blocks, chunks):
     for c in chunks:
         if n % c == 0:
             orders.append((f"chunk{c}", chunk_order(key, c)))
+    for hf in (0.125, 0.25, 0.5):
+        orders.append((f"2tier/{hf}", two_tier_order(key, 128, hf)))
+    orders.append(("2tierOrcl", two_tier_order(key, 128, 0.25,
+                                               fine_key=totals)))
     orders.append(("perlane", np.argsort(-key, kind="stable")))
     orders.append(("oracle", np.argsort(-totals, kind="stable")))
     print(f"  {name}: lane-Miters (block rows x ordering)")
@@ -159,6 +224,14 @@ def report(name, totals, key, blocks, chunks):
         for B in blocks:
             row += f"{block_cost(totals, order, B)/1e6:12.2f}"
         print(row)
+    # capped phase-1 + dense straggler recirculation, on the shipped
+    # chunk-128 order at the shipped 8192-lane blocks
+    c128 = chunk_order(key, 128) if n % 128 == 0 else None
+    row = "    recirc@64r "
+    for cap in (8, 12, 16, 24, 32, 48):
+        cost, frac = recirc_cost(totals, c128, 8192, cap)
+        row += f"  C{cap}:{cost/1e6:.2f}/{100*frac:.0f}%"
+    print(row)
 
 
 def main():
@@ -169,21 +242,55 @@ def main():
     chunks = (8, 128, 512)
 
     # ---- shadow (chained) ----
-    from perf_chained_predict import occlusion_steps
-    from perf_occl_insitu import capture_queues
-    queues, prog, settings = capture_queues(args.n)
+    # Captured queues and step counts are cached in /tmp so model
+    # iterations (new orderings/probe variants) skip the ~10 min CPU
+    # capture+count.
+    cache = f"/tmp/bm_cache_shadow_{args.n}.npz"
+    if os.path.exists(cache):
+        cached = dict(np.load(cache))
+        nb = cached["n_bounces"]
+        queues = [(cached[f"start{b}"], cached[f"end{b}"],
+                   cached[f"active{b}"]) for b in range(nb)]
+        steps_all = [cached[f"steps{b}"] for b in range(nb)]
+        from rayn_tpu.config import RenderSettings
+        from rayn_tpu.ops import sdf as sdf_ops
+        settings = RenderSettings(resolution=(512, 512))
+        prog = sdf_ops.mandelbox(iterations=12, box_fold_l=1.0,
+                                 sphere_min_rad=0.01,
+                                 sphere_fixed_rad=1.9, scale=-2.1)
+    else:
+        from perf_chained_predict import occlusion_steps
+        from perf_occl_insitu import capture_queues
+        queues, prog, settings = capture_queues(args.n)
+        from rayn_tpu.scene import presets
+        _, static0, _ = presets.default_scene(resolution=(512, 512))
+        detail0 = settings.sdf_detail_scale * settings.shadow_eps_scale
+        cap0 = settings.max_vis_marches
+        bvr0 = (static0.sdf_bound_radius if settings.shadow_bv_clip
+                else 0.0)
+        count = jax.jit(lambda s, e, a: occlusion_steps(
+            prog, s, e, detail0, cap0, active=a, bound_radius=bvr0))
+        steps_all = []
+        csave = {"n_bounces": len(queues)}
+        for bi, (start, end, active) in enumerate(queues):
+            k = start.shape[0] // args.n
+            steps_all.append(np.asarray(
+                count(start, end, active)).reshape(k, args.n))
+            csave[f"steps{bi}"] = steps_all[-1]
+            csave[f"start{bi}"] = np.asarray(start)
+            csave[f"end{bi}"] = np.asarray(end)
+            csave[f"active{bi}"] = np.asarray(active)
+        np.savez(cache, **csave)
     from rayn_tpu.scene import presets
     _, static, _ = presets.default_scene(resolution=(512, 512))
     detail = settings.sdf_detail_scale * settings.shadow_eps_scale
     cap = settings.max_vis_marches
     bv_r = static.sdf_bound_radius if settings.shadow_bv_clip else 0.0
-    count = jax.jit(lambda s, e, a: occlusion_steps(
-        prog, s, e, detail, cap, active=a, bound_radius=bv_r))
 
     print(f"shadow chained march, n={args.n}")
     for bi, (start, end, active) in enumerate(queues):
         k = start.shape[0] // args.n
-        steps = np.asarray(count(start, end, active)).reshape(k, args.n)
+        steps = steps_all[bi]
         totals = steps.sum(axis=0).astype(np.int64)
         # md/t0 key (the shipped shadow_sort_key estimate)
         seg = np.asarray(end) - np.asarray(start)
@@ -209,25 +316,40 @@ def main():
         est = np.where(nank | (t0k > md2), 1.0, est)
         key = est.reshape(k, args.n).sum(axis=0)
         report(f"bounce {bi}", totals, key, blocks, chunks)
+        probe_report(steps)
 
     # ---- primary march ----
-    prim, data, static, prog, psettings = capture_primary(args.n)
-    pcount = jax.jit(lambda o, d, t, ha, hl, a: primary_steps(
-        prog, psettings, data, static, o, d, t, ha, hl, a))
+    pcache = f"/tmp/bm_cache_primary_{args.n}.npz"
+    if os.path.exists(pcache):
+        pc = dict(np.load(pcache))
+        prows = [(pc[f"totals{d}"], pc[f"key{d}"], float(pc[f"act{d}"]))
+                 for d in range(pc["n_depths"])]
+    else:
+        prim, data, static, prog, psettings = capture_primary(args.n)
+        pcount = jax.jit(lambda o, d, t, ha, hl, a: primary_steps(
+            prog, psettings, data, static, o, d, t, ha, hl, a))
+        prows, psave = [], {"n_depths": len(prim)}
+        for di, (origin, direction, time_, t_max, hps_abs, hps_lin,
+                 active) in enumerate(prim):
+            steps, t0, best_t = pcount(origin, direction, time_,
+                                       hps_abs, hps_lin, active)
+            totals = np.asarray(steps).astype(np.int64)
+            t0n = np.asarray(t0)
+            bt = np.asarray(best_t)
+            act = np.asarray(active)
+            est = np.minimum(bt / np.maximum(t0n, 1e-6),
+                             psettings.max_marches)
+            key = np.where(~act | np.isnan(t0n), 1.0, est)
+            prows.append((totals, key, float(act.mean())))
+            psave[f"totals{di}"] = totals
+            psave[f"key{di}"] = key
+            psave[f"act{di}"] = act.mean()
+        np.savez(pcache, **psave)
     print(f"primary march, n={args.n}")
-    for di, (origin, direction, time_, t_max, hps_abs, hps_lin,
-             active) in enumerate(prim):
-        steps, t0, best_t = pcount(origin, direction, time_, hps_abs,
-                                   hps_lin, active)
-        totals = np.asarray(steps).astype(np.int64)
-        t0n = np.asarray(t0)
-        bt = np.asarray(best_t)
-        act = np.asarray(active)
-        est = np.minimum(bt / np.maximum(t0n, 1e-6),
-                         psettings.max_marches)
-        key = np.where(~act | np.isnan(t0n), 1.0, est)
-        report(f"depth {di} (active={act.mean():.3f})", totals, key,
+    for di, (totals, key, actm) in enumerate(prows):
+        report(f"depth {di} (active={actm:.3f})", totals, key,
                blocks, chunks)
+        probe_report(totals[None, :])
 
 
 if __name__ == "__main__":

@@ -187,11 +187,14 @@ def main():
                          "~44 ms/sync; shallow queues measured safe "
                          "while ~90-deep queues are 5x slower — keep "
                          "this small")
-    ap.add_argument("--dispatch", type=int, default=4,
+    ap.add_argument("--dispatch", type=int, default=1,
                     help="passes per device dispatch "
-                         "(renderer.render_passes fori_loop group); "
-                         "each dispatch costs ~tens of ms of host "
-                         "overhead under the axon tunnel")
+                         "(renderer.render_passes fori_loop group). "
+                         "Measured NEUTRAL on v5e once probe syncs are "
+                         "pipelined (1080p 2.5375 vs 2.5352 Ms/s, 512^2 "
+                         "1.7858 vs 1.7884 at 1 vs 4); kept as an "
+                         "opt-in for hosts where dispatch overhead "
+                         "matters")
     ap.add_argument("--compact", action="store_true",
                     help="compact the wavefront between bounces")
     ap.add_argument("--config", default="fractal",

@@ -158,6 +158,23 @@ def warn_fallback(feature: str, reason: str,
                   f"{consequence}", RuntimeWarning, stacklevel=3)
 
 
+def _clamp_block_rows(block_rows: int, data, static) -> int:
+    """Animated (TL/TS > 1) scenes feed the fused kernels up to 54
+    extra per-lane site columns (externally resolved light/sphere
+    positions, _site_args), which pushes a 64-row block's Mosaic
+    scoped-vmem just past the 16M limit (measured 16.19M OOM at
+    TL=TS=8, round-5). 48 rows restores ~25% headroom. Block size
+    never changes per-lane results (the bit-identity invariants are
+    block-size independent), only block packing."""
+    TL = (int(data.light_pos.values.shape[1])
+          if int(static.n_lights) else 1)
+    TS = (int(data.sphere_centers.values.shape[1])
+          if int(static.n_spheres) else 1)
+    if TL > 1 or TS > 1:
+        return min(block_rows, 48)
+    return block_rows
+
+
 def _eligibility_reason(settings, static, data) -> str | None:
     """Scene/settings facts that keep the fused kernels off (shared by
     fused_ok and fused_intersect_ok); None = eligible. There is no
@@ -1554,7 +1571,7 @@ def finish_bounce_fused(data, static, settings, tables, depth: int,
 
     s = settings
     n = state.origin.shape[0]
-    block_rows = max(block_rows, 8)
+    block_rows = max(_clamp_block_rows(block_rows, data, static), 8)
     block = block_rows * LANES
     n_pad = -(-n // block) * block
     rows = n_pad // LANES
@@ -1707,7 +1724,7 @@ def bounce_tail_fused(data, static, settings, tables, depth: int,
 
     s = settings
     n = state.origin.shape[0]
-    block_rows = max(block_rows, 8)
+    block_rows = max(_clamp_block_rows(block_rows, data, static), 8)
     block = block_rows * LANES
     n_pad = -(-n // block) * block
     rows = n_pad // LANES
@@ -1881,7 +1898,7 @@ def shadow_radiance(data, static, settings, tables, depth: int,
     is pure u32 arithmetic)."""
     s = settings
     n = point.shape[0]
-    block_rows = max(block_rows, 8)
+    block_rows = max(_clamp_block_rows(block_rows, data, static), 8)
     block = block_rows * LANES
     n_pad = -(-n // block) * block
     rows = n_pad // LANES
@@ -1964,7 +1981,7 @@ def shadow_sort_key(data, static, settings, tables, depth: int,
     so any approximation here is performance-only."""
     s = settings
     n = point.shape[0]
-    block_rows = max(block_rows, 8)
+    block_rows = max(_clamp_block_rows(block_rows, data, static), 8)
     block = block_rows * LANES
     n_pad = -(-n // block) * block
     rows = n_pad // LANES

@@ -153,14 +153,21 @@ def render_passes(film: film_mod.Film, data: SceneData,
                   t0: jnp.ndarray, t1: jnp.ndarray,
                   sample_base: int = 0) -> film_mod.Film:
     """Render `n_passes` consecutive passes in ONE device dispatch (a
-    lax.fori_loop over the pass body, film as the carry). Per-ray work
-    is identical to calling render_pass n_passes times; only the
-    host<->device dispatch cadence changes — under the axon tunnel each
-    dispatch carries ~tens of ms of host overhead (round-5 measurement:
-    ~53 ms/pass at 512x512 even with pipelined probe syncs), so
-    batching 4-8 passes per dispatch amortizes it. `n_passes` is a
-    traced scalar: one compiled program serves any group size,
-    including the tail group."""
+    lax.fori_loop over the pass body, film as the carry). Per-ray MATH
+    is the same as calling render_pass n_passes times, but the fori_loop
+    context compiles the pass body with different float-contraction
+    choices, so results can differ from render_pass at the ulp level —
+    which breaks the repo's bit-identity contract between the
+    sequential and per-chip frame paths (tests/test_sharding.py caught
+    exactly that). Measured on v5e at 1080p the batching is also
+    NEUTRAL once probe syncs are pipelined (2.5375 Ms/s at 1
+    pass/dispatch vs 2.5352 at 4 — the host overhead the round-4 tail
+    measurement attributed to dispatches was the blocking syncs), so
+    render_frame defaults to passes_per_dispatch=1 via the render_pass
+    program and this grouped dispatch is an opt-in for hosts where
+    dispatch overhead IS measured to matter. `n_passes` is a traced
+    scalar: one compiled program serves any group size, including the
+    tail group."""
     def body(i, f):
         return _pass_body(f, data, static, settings, tables, camera,
                           fis_table, pass_start + i * pass_size,
@@ -219,7 +226,7 @@ def render_frame(data: SceneData, static: SceneStatic,
                  checkpoint_every: int = 4,
                  progress: Optional[callable] = None,
                  sync_every: int = 8,
-                 passes_per_dispatch: int = 4,
+                 passes_per_dispatch: int = 1,
                  mesh=None) -> film_mod.Film:
     """Render a full frame, splitting the (pixel, sample) grid into
     HBM-sized passes. Default frame timing matches reference
@@ -317,14 +324,15 @@ def render_frame(data: SceneData, static: SceneStatic,
 
         import collections
         probes = collections.deque()
-        # Dispatch cadence: under the axon tunnel each device dispatch
-        # carries ~tens of ms of host overhead (round-5: ~53 ms/pass at
-        # 512x512 even with pipelined probe syncs), so passes are
-        # batched `passes_per_dispatch` per render_passes call (one
-        # fori_loop program, identical per-ray work). Groups clamp to
-        # checkpoint boundaries so checkpoint_every keeps its pass-
-        # granular meaning; the mesh path stays per-pass (its dispatch
-        # is the shard_map program).
+        # Dispatch cadence: passes_per_dispatch > 1 batches passes into
+        # one render_passes fori_loop dispatch — an opt-in for hosts
+        # where per-dispatch overhead is measured to matter (on v5e
+        # under axon it is NEUTRAL once probe syncs are pipelined, and
+        # the fori_loop context costs bit-identity with the per-chip
+        # frame path, see render_passes). Groups clamp to checkpoint
+        # boundaries so checkpoint_every keeps its pass-granular
+        # meaning; the mesh path stays per-pass (its dispatch is the
+        # shard_map program).
         group_max = max(1, passes_per_dispatch) if mesh is None else 1
         p = start_pass
         while p < n_passes:
@@ -332,7 +340,17 @@ def render_frame(data: SceneData, static: SceneStatic,
             if checkpoint_path:
                 group = min(group, checkpoint_every
                             - (p % checkpoint_every))
-            if mesh is None:
+            if mesh is None and group == 1:
+                # The render_pass program, NOT render_passes(k=1): the
+                # fori_loop context contracts floats differently at the
+                # ulp level, and the per-chip frame path
+                # (parallel.sharding.render_frames_per_chip) bit-matches
+                # against THIS program (tests/test_sharding.py).
+                film = render_pass(film, data, static, seg_settings,
+                                   tables, camera, fis_table,
+                                   jnp.int32(p * pass_size), pass_size,
+                                   t0, t1, sample_base=sb)
+            elif mesh is None:
                 film = render_passes(film, data, static, seg_settings,
                                      tables, camera, fis_table,
                                      jnp.int32(p * pass_size), pass_size,

@@ -68,7 +68,13 @@ class AnimChannel(NamedTuple):
 
     def sample(self, t: jnp.ndarray) -> jnp.ndarray:
         """Linearly interpolate at times t [...]; returns [..., D].
-        Clamps outside [t0, t1]."""
+        Clamps outside [t0, t1].
+
+        One-hot lerp-weight contraction, not `vals[i0]` — a native
+        per-lane gather of the knot table is the measured TPU
+        pathology (see sample_batched); with T <= 64 knots the [.., T]
+        contraction runs at bandwidth speed. Adding exact zeros keeps
+        the result bit-identical to the two-term lerp."""
         vals = self.values
         n = vals.shape[0]
         if n == 1:
@@ -76,8 +82,13 @@ class AnimChannel(NamedTuple):
         u = (t - self.t0) / (self.t1 - self.t0) * (n - 1)
         u = jnp.clip(u, 0.0, n - 1)
         i0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, n - 2)
-        frac = (u - i0.astype(jnp.float32))[..., None]
-        return vals[i0] * (1.0 - frac) + vals[i0 + 1] * frac
+        frac = u - i0.astype(jnp.float32)
+        out = jnp.zeros(t.shape + (vals.shape[1],), jnp.float32)
+        for j in range(n):
+            wj = (jnp.where(i0 == j, 1.0 - frac, 0.0)
+                  + jnp.where(i0 + 1 == j, frac, 0.0))[..., None]
+            out = out + wj * vals[j]
+        return out
 
 
 def stack_channels(channels: list[AnimChannel]) -> AnimChannel:
@@ -129,7 +140,17 @@ def sample_batched_at(ch: AnimChannel, obj_idx: jnp.ndarray,
 
 def sample_batched(ch: AnimChannel, t: jnp.ndarray) -> jnp.ndarray:
     """Sample a batched channel (values [K, T, D]) at per-ray times t [N]
-    -> [N, K, D]."""
+    -> [N, K, D].
+
+    The animated case contracts one-hot lerp weights [N, T] against the
+    knot table instead of gathering `vals[:, i0, :]` — the native
+    per-lane knot gather here measured 2.6x on WHOLE animated-geo
+    passes once this function reached the per-pass hot path
+    (`scene.sphere_centers_at` feeds the fused kernels' per-lane
+    sphere-center inputs and the round-5 pre-intersect cost key;
+    BASELINE.md round-5 "animated-geo regression"). Same rule as
+    sample_batched_at below: one-hot contractions for small tables,
+    never native gathers."""
     vals = ch.values
     k, n, d = vals.shape
     if n == 1:
@@ -137,7 +158,16 @@ def sample_batched(ch: AnimChannel, t: jnp.ndarray) -> jnp.ndarray:
     u = (t - ch.t0) / (ch.t1 - ch.t0) * (n - 1)
     u = jnp.clip(u, 0.0, n - 1)
     i0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, n - 2)
-    frac = (u - i0.astype(jnp.float32))[:, None, None]
-    v0 = jnp.moveaxis(vals[:, i0, :], 1, 0)  # [N, K, D]
-    v1 = jnp.moveaxis(vals[:, i0 + 1, :], 1, 0)
-    return v0 * (1.0 - frac) + v1 * frac
+    frac = u - i0.astype(jnp.float32)
+    # Unrolled elementwise contraction, not einsum: a dot_general here
+    # made XLA stage vmem-resident operands around the downstream mega
+    # kernel, pushing its scoped-vmem over the 16M Mosaic limit
+    # (measured: 17.28M OOM at TL=TS=8). T elementwise terms fuse into
+    # the surrounding glue with no big intermediate; adding exact zeros
+    # keeps the value bit-identical to the two-term lerp.
+    out = jnp.zeros(t.shape + (k, d), jnp.float32)
+    for j in range(n):
+        wj = (jnp.where(i0 == j, 1.0 - frac, 0.0)
+              + jnp.where(i0 + 1 == j, frac, 0.0))[:, None, None]
+        out = out + wj * vals[None, :, j, :]
+    return out

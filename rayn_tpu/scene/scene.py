@@ -280,9 +280,11 @@ class SceneBuilder:
         reference's HitableStore holds any number of TracedSDFs
         (src/hitable.rs:143-161); closest hit folds across all of them
         (src/hitable.rs:170-210). Returns the instance's object id
-        offset (0 = first). The single-instance case runs the fused
-        Pallas fast paths; multi-instance scenes run the unfused fold
-        (a one-time warning notes the fallback)."""
+        offset (0 = first). Any instance count runs the fused Pallas
+        fast paths (the kernels fold closest-hit/occlusion across all
+        instances in-kernel, with per-instance scalar params in SMEM);
+        only non-scalar parameter leaves or a missing component-form
+        fn_c fall back to the unfused fold (one-time warning)."""
         if self._sdf is None:
             self.set_sdf(program, material, bound_radius)
             return 0

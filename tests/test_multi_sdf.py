@@ -4,9 +4,11 @@ The reference's HitableStore is a Vec of trait objects that can hold any
 number of TracedSDFs (reference src/hitable.rs:143-161); closest hit is
 a fold over all of them keeping the per-lane nearest (src/hitable.rs:
 170-210) and occlusion is a product fold (src/hitable.rs:163-168).
-rayn_tpu expresses this as SceneBuilder.add_sdf instances: the first
-powers the fused single-SDF Pallas fast paths, N > 1 runs the unfused
-fold (with a one-time warning)."""
+rayn_tpu expresses this as SceneBuilder.add_sdf instances: ANY
+instance count runs the fused Pallas kernel family (in-kernel
+closest/occlusion folds, per-instance scalar params in SMEM); only
+instances without a component-form fn_c or with non-scalar parameter
+leaves drop to the unfused fold (one-time warning)."""
 
 import numpy as np
 import pytest

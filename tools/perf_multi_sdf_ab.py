@@ -14,7 +14,12 @@ fused kernels (warnings escalate to errors).
 Run: python tools/perf_multi_sdf_ab.py
 """
 
+import os
+import sys
 import warnings
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import numpy as np
@@ -73,8 +78,6 @@ def build_scene(extra_instance: bool, resolution=(512, 512)):
 def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/rayn_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    import sys
-    sys.path.insert(0, "/root/repo/tools")
     from perf_pass import time_pass
 
     from rayn_tpu.config import RenderSettings
